@@ -1,0 +1,146 @@
+"""Configuration mirroring the reference's rosparam surface.
+
+Names and defaults follow /root/reference/backend/sloam/params/sloam.yaml and
+the per-node private params; capacities are the TPU-side static-shape knobs
+(the reference grows std::vectors — XLA needs fixed capacities + masks).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List
+
+
+@dataclass
+class NoiseConfig:
+    """factor_graph/* noise vectors (graphWrapper.cpp:26-65).
+
+    Pose noise ordering is [roll, pitch, yaw, x, y, z] sigmas."""
+    prior_first_pose: List[float] = field(default_factory=lambda: [1e-6] * 6)
+    odom: List[float] = field(default_factory=lambda: [0.1] * 6)            # scaled by travel distance
+    cube: List[float] = field(default_factory=lambda: [0.1] * 9)            # scaled by range
+    rel_meas: List[float] = field(default_factory=lambda: [0.1] * 6)        # scaled by range
+    closure_scale: float = 0.01           # closure sigma = odom * 0.01 (graphWrapper.cpp:55)
+    cylinder: float = 400.0               # 100 * 4 isotropic, dim 7 (graphWrapper.cpp:60)
+    bearing: float = 1.0                  # Isotropic sigma 3 (graphWrapper.cpp:63-64)
+    noise_floor: float = 0.1              # min travel distance for scaling (graph.cpp:54)
+
+
+@dataclass
+class PlaceRecognitionConfig:
+    """place_recognition/* (sloam.yaml:26-46)."""
+    search_xy_step_size: float = 0.5
+    search_yaw_step_size_degrees: float = 15.0
+    match_threshold_position: float = 0.75
+    compute_budget_sec: float = 10.0
+    min_num_inliers: int = 8
+    min_num_map_objects_to_start: int = 5
+    dilation_factor: float = 1.2
+    match_yaw_half_range: float = 180.0
+    disable_yaw_search: bool = False
+    match_threshold_dimension: float = 5.0
+    ignore_dimension: bool = True
+    use_nonlinear_least_squares: bool = True
+    match_x_half_range_intra: float = 5.0
+    match_y_half_range_intra: float = 5.0
+    match_yaw_half_range_intra: float = 10.0
+
+
+@dataclass
+class SlideGraphConfig:
+    """place_recognition_slidegraph/* (sloam.yaml:49-56)."""
+    num_inliers_threshold: int = 5
+    descriptor_matching_threshold: float = 0.1
+    min_num_map_objects_to_start: int = 30
+    sigma: float = 0.1
+    epsilon: float = 0.3
+
+
+@dataclass
+class CapacityConfig:
+    """Static-shape capacities of the engine state arrays."""
+    max_poses_per_robot: int = 512
+    max_cylinders: int = 1024
+    max_cuboids: int = 512
+    max_points: int = 512
+    max_scan_objects: int = 64            # per keyframe, per class
+    max_cylinder_factors: int = 4096
+    max_cuboid_factors: int = 2048
+    max_point_factors: int = 2048
+    max_between_factors: int = 256        # loop closures + relative-meas factors
+    submap_k_cylinder: int = 50           # cylinderMapManager.cpp:230
+    submap_k_cuboid: int = 30             # cubeMapManager.cpp:61
+    submap_k_ellipsoid: int = 256         # ellipsoidMapManager KNN=1000 == "all"
+
+
+@dataclass
+class SolverConfig:
+    """Batched Levenberg-Marquardt + PCG (replaces iSAM2, graph.cpp:14-22)."""
+    max_outer_iterations: int = 8
+    pcg_max_iterations: int = 128
+    pcg_tol: float = 1e-6
+    init_lambda: float = 1e-4
+    lambda_up: float = 4.0
+    lambda_down: float = 0.5
+    # Per-keyframe incremental solves warm-start from the previous estimate
+    # and use fewer outer iterations.
+    incremental_outer_iterations: int = 2
+
+
+@dataclass
+class SlamConfig:
+    # sloam.yaml top level
+    use_slidematch: bool = False
+    communication_wait_time: float = 5.0
+    inter_robot_place_recognition_frequency: float = 0.05
+    intra_robot_place_recognition_frequency: float = 0.05
+    rel_inter_robot_factor_frequency: float = 1.0
+    cylinder_match_thresh: float = 3.0
+    cuboid_match_thresh: float = 2.0
+    ellipsoid_match_thresh: float = 0.75
+    min_robot_altitude: float = -100.0
+    min_odom_distance: float = 0.5
+    main_node_rate: float = 5.0
+    number_of_robots: int = 3
+    odom_freq_filter: int = 10
+    max_queue_size: int = 200
+    msg_delay_tolerance: float = 3.0      # robot.h:81
+    # loop-closure region / candidate params (inputNode.cpp:106-108,
+    # sloamNode.cpp:403-413)
+    lc_max_dist_xy: float = 10.0
+    lc_max_dist_z: float = 2.0
+    lc_min_poses_old_region: int = 30
+    lc_candidate_max_dist: float = 15.0
+    lc_candidate_min_poses_old: int = 50
+    lc_submap_radius: float = 20.0
+    lc_min_pose_idx: int = 20             # sloamNode.cpp:382
+    turn_off_intra_loop_closure: bool = False
+    min_landmark_hits: int = 1            # getFinalMap(min_hits)
+
+    noise: NoiseConfig = field(default_factory=NoiseConfig)
+    place_recognition: PlaceRecognitionConfig = field(default_factory=PlaceRecognitionConfig)
+    slidegraph: SlideGraphConfig = field(default_factory=SlideGraphConfig)
+    capacity: CapacityConfig = field(default_factory=CapacityConfig)
+    solver: SolverConfig = field(default_factory=SolverConfig)
+
+    def replace(self, **kw) -> "SlamConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def indoor_config() -> SlamConfig:
+    """Indoor preset (sloam.yaml comments: xy step 0.1, yaw step 5 deg...)."""
+    cfg = SlamConfig()
+    cfg.place_recognition.search_xy_step_size = 0.1
+    cfg.place_recognition.search_yaw_step_size_degrees = 5.0
+    cfg.place_recognition.min_num_inliers = 5
+    return cfg
+
+
+def forest_config() -> SlamConfig:
+    cfg = SlamConfig()
+    cfg.place_recognition.search_xy_step_size = 0.5
+    cfg.place_recognition.match_threshold_position = 0.5
+    cfg.place_recognition.min_num_inliers = 15
+    cfg.place_recognition.min_num_map_objects_to_start = 100
+    cfg.slidegraph.min_num_map_objects_to_start = 100
+    return cfg

@@ -1,0 +1,335 @@
+"""Batched Gauss-Newton solver with matrix-free PCG.
+
+Replaces GTSAM iSAM2 (graph.cpp:14-22, CHOLESKY / relinearizeSkip=1 /
+threshold 0.1) with the TPU-native equivalent: every solve re-linearizes the
+whole graph as a batch (vmapped forward-mode Jacobians over typed factor
+arrays), then solves the normal equations with block-Jacobi-preconditioned
+conjugate gradients where H*v is evaluated factor-wise with batched einsums
+(gather -> small matmul -> scatter-add). Incremental behavior comes from
+warm-starting each per-keyframe solve at the previous estimate.
+
+Anchoring: the reference puts a sigma=1e-6 prior on each robot's first pose
+(graphWrapper.cpp:51). A 1e12 information weight is hostile to f32 PCG, so
+the anchor pose of each robot chain is frozen instead (its tangent rows are
+projected out) — numerically equivalent, exactly gauge-fixing.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3
+from . import residuals as res
+from .graph import GraphState
+
+_Z6 = jnp.zeros(6)
+_Z7 = jnp.zeros(7)
+_Z9 = jnp.zeros(9)
+_Z3 = jnp.zeros(3)
+
+
+class Tangent(NamedTuple):
+    pose: jnp.ndarray  # [RP, 6]
+    cyl: jnp.ndarray   # [NC, 7]
+    cub: jnp.ndarray   # [NK, 9]
+    pt: jnp.ndarray    # [NU, 3]
+
+
+def tangent_zeros(s: GraphState) -> Tangent:
+    f = s.poses.dtype
+    return Tangent(
+        pose=jnp.zeros((s.poses.shape[0], 6), f),
+        cyl=jnp.zeros((s.cyl_ray.shape[0], 7), f),
+        cub=jnp.zeros((s.cub_pose.shape[0], 9), f),
+        pt=jnp.zeros((s.pt_pos.shape[0], 3), f),
+    )
+
+
+def tree_dot(a, b):
+    return sum(jnp.vdot(x, y) for x, y in zip(jax.tree_util.tree_leaves(a),
+                                              jax.tree_util.tree_leaves(b)))
+
+
+def tree_axpy(alpha, x, y):
+    return jax.tree_util.tree_map(lambda u, v: alpha * u + v, x, y)
+
+
+def tree_scale(alpha, x):
+    return jax.tree_util.tree_map(lambda u: alpha * u, x)
+
+
+# ---------------------------------------------------------------------------
+# Per-family linearization (vmapped jacfwd in the tangent at zero)
+# ---------------------------------------------------------------------------
+
+
+def _between_lin(pose_i, pose_j, rel, sigma):
+    def f(xi, xj):
+        return res.between_residual(
+            se3.retract(pose_i, xi), se3.retract(pose_j, xj), rel) / sigma
+    r = f(_Z6, _Z6)
+    Ji, Jj = jax.jacfwd(f, argnums=(0, 1))(_Z6, _Z6)
+    return r, Ji, Jj
+
+
+def _cyl_lin(pose, lm7, meas, sigma):
+    def f(xi, dl):
+        return res.cylinder_residual(
+            se3.retract(pose, xi), res.cylinder_retract(lm7, dl), meas) / sigma
+    r = f(_Z6, _Z7)
+    Jp, Jl = jax.jacfwd(f, argnums=(0, 1))(_Z6, _Z7)
+    return r, Jp, Jl
+
+
+def _cub_lin(pose, lm_pose, lm_scale, m_pose, m_scale, sigma):
+    def f(xi, dl):
+        lp, ls = res.cuboid_retract(lm_pose, lm_scale, dl)
+        return res.cuboid_residual(se3.retract(pose, xi), lp, ls, m_pose, m_scale) / sigma
+    r = f(_Z6, _Z9)
+    Jp, Jl = jax.jacfwd(f, argnums=(0, 1))(_Z6, _Z9)
+    return r, Jp, Jl
+
+
+def _pt_lin(pose, pt, bearing, rng, sigma):
+    def f(xi, dl):
+        return res.bearing_range_residual(se3.retract(pose, xi), pt + dl, bearing, rng) / sigma
+    r = f(_Z6, _Z3)
+    Jp, Jl = jax.jacfwd(f, argnums=(0, 1))(_Z6, _Z3)
+    return r, Jp, Jl
+
+
+class Linearization(NamedTuple):
+    # odometry chain (per pose slot, slot-1 -> slot)
+    od_r: jnp.ndarray; od_Ji: jnp.ndarray; od_Jj: jnp.ndarray; od_prev: jnp.ndarray
+    # generic between factors
+    bf_r: jnp.ndarray; bf_Ji: jnp.ndarray; bf_Jj: jnp.ndarray
+    # cylinder factors
+    cf_r: jnp.ndarray; cf_Jp: jnp.ndarray; cf_Jl: jnp.ndarray
+    # cuboid factors
+    kf_r: jnp.ndarray; kf_Jp: jnp.ndarray; kf_Jl: jnp.ndarray
+    # bearing-range factors
+    uf_r: jnp.ndarray; uf_Jp: jnp.ndarray; uf_Jl: jnp.ndarray
+
+
+def _masked(mask, *arrs):
+    out = []
+    for a in arrs:
+        m = mask.reshape(mask.shape + (1,) * (a.ndim - 1))
+        out.append(jnp.where(m, a, 0.0))
+    return out
+
+
+def linearize(s: GraphState, cyl_sigma, bearing_sigma) -> Linearization:
+    RP = s.poses.shape[0]
+    prev_slot = jnp.maximum(jnp.arange(RP) - 1, 0)
+
+    od_r, od_Ji, od_Jj = jax.vmap(_between_lin)(
+        s.poses[prev_slot], s.poses, s.odom_rel, s.odom_sigma)
+    od_r, od_Ji, od_Jj = _masked(s.odom_valid(), od_r, od_Ji, od_Jj)
+
+    bf_r, bf_Ji, bf_Jj = jax.vmap(_between_lin)(
+        s.poses[s.bf_i], s.poses[s.bf_j], s.bf_rel, s.bf_sigma)
+    bf_r, bf_Ji, bf_Jj = _masked(s.bf_valid(), bf_r, bf_Ji, bf_Jj)
+
+    lm7 = s.cyl_lm7()
+    cf_r, cf_Jp, cf_Jl = jax.vmap(_cyl_lin, in_axes=(0, 0, 0, None))(
+        s.poses[s.cf_pose], lm7[s.cf_lm], s.cf_meas, cyl_sigma)
+    cf_r, cf_Jp, cf_Jl = _masked(s.cf_valid(), cf_r, cf_Jp, cf_Jl)
+
+    kf_r, kf_Jp, kf_Jl = jax.vmap(_cub_lin)(
+        s.poses[s.kf_pose], s.cub_pose[s.kf_lm], s.cub_scale[s.kf_lm],
+        s.kf_meas_pose, s.kf_meas_scale, s.kf_sigma)
+    kf_r, kf_Jp, kf_Jl = _masked(s.kf_valid(), kf_r, kf_Jp, kf_Jl)
+
+    uf_r, uf_Jp, uf_Jl = jax.vmap(_pt_lin, in_axes=(0, 0, 0, 0, None))(
+        s.poses[s.uf_pose], s.pt_pos[s.uf_lm], s.uf_bearing, s.uf_range,
+        bearing_sigma)
+    uf_r, uf_Jp, uf_Jl = _masked(s.uf_valid(), uf_r, uf_Jp, uf_Jl)
+
+    return Linearization(od_r, od_Ji, od_Jj, prev_slot,
+                         bf_r, bf_Ji, bf_Jj,
+                         cf_r, cf_Jp, cf_Jl,
+                         kf_r, kf_Jp, kf_Jl,
+                         uf_r, uf_Jp, uf_Jl)
+
+
+def _frozen_pose_mask(s: GraphState) -> jnp.ndarray:
+    """[RP] True where the pose tangent must stay zero (chain anchors)."""
+    P = s.poses_per_robot
+    idx = jnp.arange(s.poses.shape[0]) % P
+    rid = jnp.arange(s.poses.shape[0]) // P
+    return (idx == 0) & s.prior_valid[rid]
+
+
+def _project(s: GraphState, v: Tangent) -> Tangent:
+    frozen = _frozen_pose_mask(s)
+    return v._replace(pose=jnp.where(frozen[:, None], 0.0, v.pose))
+
+
+def gradient(s: GraphState, lin: Linearization) -> Tangent:
+    """g = J^T r (whitened)."""
+    g = tangent_zeros(s)
+    gp = g.pose
+    gp = gp.at[lin.od_prev].add(jnp.einsum("fij,fi->fj", lin.od_Ji, lin.od_r))
+    gp = gp.at[jnp.arange(gp.shape[0])].add(
+        jnp.einsum("fij,fi->fj", lin.od_Jj, lin.od_r))
+    gp = gp.at[s.bf_i].add(jnp.einsum("fij,fi->fj", lin.bf_Ji, lin.bf_r))
+    gp = gp.at[s.bf_j].add(jnp.einsum("fij,fi->fj", lin.bf_Jj, lin.bf_r))
+    gp = gp.at[s.cf_pose].add(jnp.einsum("fij,fi->fj", lin.cf_Jp, lin.cf_r))
+    gp = gp.at[s.kf_pose].add(jnp.einsum("fij,fi->fj", lin.kf_Jp, lin.kf_r))
+    gp = gp.at[s.uf_pose].add(jnp.einsum("fij,fi->fj", lin.uf_Jp, lin.uf_r))
+    gc = g.cyl.at[s.cf_lm].add(jnp.einsum("fij,fi->fj", lin.cf_Jl, lin.cf_r))
+    gk = g.cub.at[s.kf_lm].add(jnp.einsum("fij,fi->fj", lin.kf_Jl, lin.kf_r))
+    gu = g.pt.at[s.uf_lm].add(jnp.einsum("fij,fi->fj", lin.uf_Jl, lin.uf_r))
+    return _project(s, Tangent(gp, gc, gk, gu))
+
+
+def hessian_vec(s: GraphState, lin: Linearization, v: Tangent,
+                lam: jnp.ndarray, diag: Tangent) -> Tangent:
+    """(J^T J + lam * diag) v, factor-wise."""
+    v = _project(s, v)
+    idx = jnp.arange(s.poses.shape[0])
+    # J v per family
+    od_Jv = (jnp.einsum("fij,fj->fi", lin.od_Ji, v.pose[lin.od_prev])
+             + jnp.einsum("fij,fj->fi", lin.od_Jj, v.pose[idx]))
+    bf_Jv = (jnp.einsum("fij,fj->fi", lin.bf_Ji, v.pose[s.bf_i])
+             + jnp.einsum("fij,fj->fi", lin.bf_Jj, v.pose[s.bf_j]))
+    cf_Jv = (jnp.einsum("fij,fj->fi", lin.cf_Jp, v.pose[s.cf_pose])
+             + jnp.einsum("fij,fj->fi", lin.cf_Jl, v.cyl[s.cf_lm]))
+    kf_Jv = (jnp.einsum("fij,fj->fi", lin.kf_Jp, v.pose[s.kf_pose])
+             + jnp.einsum("fij,fj->fi", lin.kf_Jl, v.cub[s.kf_lm]))
+    uf_Jv = (jnp.einsum("fij,fj->fi", lin.uf_Jp, v.pose[s.uf_pose])
+             + jnp.einsum("fij,fj->fi", lin.uf_Jl, v.pt[s.uf_lm]))
+    # J^T (J v)
+    out = tangent_zeros(s)
+    op = out.pose
+    op = op.at[lin.od_prev].add(jnp.einsum("fij,fi->fj", lin.od_Ji, od_Jv))
+    op = op.at[idx].add(jnp.einsum("fij,fi->fj", lin.od_Jj, od_Jv))
+    op = op.at[s.bf_i].add(jnp.einsum("fij,fi->fj", lin.bf_Ji, bf_Jv))
+    op = op.at[s.bf_j].add(jnp.einsum("fij,fi->fj", lin.bf_Jj, bf_Jv))
+    op = op.at[s.cf_pose].add(jnp.einsum("fij,fi->fj", lin.cf_Jp, cf_Jv))
+    op = op.at[s.kf_pose].add(jnp.einsum("fij,fi->fj", lin.kf_Jp, kf_Jv))
+    op = op.at[s.uf_pose].add(jnp.einsum("fij,fi->fj", lin.uf_Jp, uf_Jv))
+    oc = out.cyl.at[s.cf_lm].add(jnp.einsum("fij,fi->fj", lin.cf_Jl, cf_Jv))
+    ok = out.cub.at[s.kf_lm].add(jnp.einsum("fij,fi->fj", lin.kf_Jl, kf_Jv))
+    ou = out.pt.at[s.uf_lm].add(jnp.einsum("fij,fi->fj", lin.uf_Jl, uf_Jv))
+    hv = Tangent(op, oc, ok, ou)
+    hv = jax.tree_util.tree_map(lambda h, vv, d: h + lam * d * vv, hv, v, diag)
+    return _project(s, hv)
+
+
+def diagonal(s: GraphState, lin: Linearization) -> Tangent:
+    """diag(J^T J) as a Tangent (used for LM damping + Jacobi precond)."""
+    d = tangent_zeros(s)
+    idx = jnp.arange(s.poses.shape[0])
+    dp = d.pose
+    dp = dp.at[lin.od_prev].add(jnp.einsum("fij,fij->fj", lin.od_Ji, lin.od_Ji))
+    dp = dp.at[idx].add(jnp.einsum("fij,fij->fj", lin.od_Jj, lin.od_Jj))
+    dp = dp.at[s.bf_i].add(jnp.einsum("fij,fij->fj", lin.bf_Ji, lin.bf_Ji))
+    dp = dp.at[s.bf_j].add(jnp.einsum("fij,fij->fj", lin.bf_Jj, lin.bf_Jj))
+    dp = dp.at[s.cf_pose].add(jnp.einsum("fij,fij->fj", lin.cf_Jp, lin.cf_Jp))
+    dp = dp.at[s.kf_pose].add(jnp.einsum("fij,fij->fj", lin.kf_Jp, lin.kf_Jp))
+    dp = dp.at[s.uf_pose].add(jnp.einsum("fij,fij->fj", lin.uf_Jp, lin.uf_Jp))
+    dc = d.cyl.at[s.cf_lm].add(jnp.einsum("fij,fij->fj", lin.cf_Jl, lin.cf_Jl))
+    dk = d.cub.at[s.kf_lm].add(jnp.einsum("fij,fij->fj", lin.kf_Jl, lin.kf_Jl))
+    du = d.pt.at[s.uf_lm].add(jnp.einsum("fij,fij->fj", lin.uf_Jl, lin.uf_Jl))
+    return Tangent(dp, dc, dk, du)
+
+
+def cost(s: GraphState, cyl_sigma, bearing_sigma) -> jnp.ndarray:
+    lin = linearize(s, cyl_sigma, bearing_sigma)
+    return 0.5 * (jnp.sum(lin.od_r ** 2) + jnp.sum(lin.bf_r ** 2)
+                  + jnp.sum(lin.cf_r ** 2) + jnp.sum(lin.kf_r ** 2)
+                  + jnp.sum(lin.uf_r ** 2))
+
+
+def retract_state(s: GraphState, dx: Tangent) -> GraphState:
+    dx = _project(s, dx)
+    new_poses = se3.retract(s.poses, dx.pose)
+    pv = s.pose_valid()[:, None]
+    poses = jnp.where(pv, new_poses, s.poses)
+    cyl7 = s.cyl_lm7() + jnp.where(s.cyl_valid()[:, None], dx.cyl, 0.0)
+    cub_pose = jnp.where(s.cub_valid()[:, None],
+                         se3.retract(s.cub_pose, dx.cub[:, :6]), s.cub_pose)
+    cub_scale = s.cub_scale + jnp.where(s.cub_valid()[:, None], dx.cub[:, 6:9], 0.0)
+    pt = s.pt_pos + jnp.where(s.pt_valid()[:, None], dx.pt, 0.0)
+    return s._replace(
+        poses=poses,
+        cyl_ray=cyl7[:, 0:3], cyl_root=cyl7[:, 3:6], cyl_radius=cyl7[:, 6],
+        cub_pose=cub_pose, cub_scale=cub_scale,
+        pt_pos=pt,
+        keypose_xyz=jnp.where(pv, se3.trans(poses), s.keypose_xyz),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PCG + damped Gauss-Newton
+# ---------------------------------------------------------------------------
+
+
+def pcg(hv_fn, b: Tangent, precond: Tangent, max_iters: int, tol: float) -> Tangent:
+    """Solve H x = b with Jacobi preconditioner (elementwise inverse diag)."""
+    x0 = jax.tree_util.tree_map(jnp.zeros_like, b)
+    r0 = b
+    z0 = jax.tree_util.tree_map(lambda r, m: r * m, r0, precond)
+    p0 = z0
+    rz0 = tree_dot(r0, z0)
+
+    def body(carry):
+        k, x, r, z, p, rz = carry
+        hp = hv_fn(p)
+        php = tree_dot(p, hp)
+        alpha = rz / jnp.maximum(php, 1e-30)
+        x = tree_axpy(alpha, p, x)
+        r = tree_axpy(-alpha, hp, r)
+        z = jax.tree_util.tree_map(lambda rr, m: rr * m, r, precond)
+        rz_new = tree_dot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = tree_axpy(beta, p, z)
+        return k + 1, x, r, z, p, rz_new
+
+    def cond(carry):
+        k, x, r, z, p, rz = carry
+        return (k < max_iters) & (rz > tol * tol * jnp.maximum(rz0, 1e-30))
+
+    _, x, *_ = jax.lax.while_loop(cond, body, (0, x0, r0, z0, p0, rz0))
+    return x
+
+
+def solve(s: GraphState, *, cyl_sigma: float, bearing_sigma: float,
+          outer_iters: int, pcg_iters: int, pcg_tol: float = 1e-6,
+          lam: float = 1e-6) -> GraphState:
+    """Damped Gauss-Newton with backtracking step scaling.
+
+    `outer_iters` is static (unrolled); per iteration: linearize -> PCG ->
+    try step scales {1, 1/2, 1/4, 0} and keep the best cost."""
+
+    def one_iter(s, _):
+        lin = linearize(s, cyl_sigma, bearing_sigma)
+        g = gradient(s, lin)
+        diag = diagonal(s, lin)
+        precond = jax.tree_util.tree_map(
+            lambda d: 1.0 / (d + lam * d + 1e-8), diag)
+        hv = functools.partial(hessian_vec, s, lin, lam=lam, diag=diag)
+        dx = pcg(lambda v: hv(v), tree_scale(-1.0, g), precond,
+                 pcg_iters, pcg_tol)
+        c0 = 0.5 * (jnp.sum(lin.od_r ** 2) + jnp.sum(lin.bf_r ** 2)
+                    + jnp.sum(lin.cf_r ** 2) + jnp.sum(lin.kf_r ** 2)
+                    + jnp.sum(lin.uf_r ** 2))
+
+        def try_scale(alpha):
+            trial = retract_state(s, tree_scale(alpha, dx))
+            return cost(trial, cyl_sigma, bearing_sigma)
+
+        scales = jnp.array([1.0, 0.5, 0.25], dtype=s.poses.dtype)
+        costs = jnp.stack([try_scale(a) for a in (1.0, 0.5, 0.25)])
+        best = jnp.argmin(costs)
+        accept = costs[best] < c0
+        alpha = jnp.where(accept, scales[best], 0.0)
+        return retract_state(s, tree_scale(alpha, dx)), costs[best]
+
+    s, _ = jax.lax.scan(one_iter, s, None, length=outer_iters)
+    return s
