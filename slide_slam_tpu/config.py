@@ -3,30 +3,32 @@
 Names and defaults follow /root/reference/backend/sloam/params/sloam.yaml and
 the per-node private params; capacities are the TPU-side static-shape knobs
 (the reference grows std::vectors — XLA needs fixed capacities + masks).
+
+All config dataclasses are frozen/hashable so they can be jit static args.
 """
 from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import List
+from typing import Tuple
 
 
-@dataclass
+@dataclass(frozen=True)
 class NoiseConfig:
     """factor_graph/* noise vectors (graphWrapper.cpp:26-65).
 
     Pose noise ordering is [roll, pitch, yaw, x, y, z] sigmas."""
-    prior_first_pose: List[float] = field(default_factory=lambda: [1e-6] * 6)
-    odom: List[float] = field(default_factory=lambda: [0.1] * 6)            # scaled by travel distance
-    cube: List[float] = field(default_factory=lambda: [0.1] * 9)            # scaled by range
-    rel_meas: List[float] = field(default_factory=lambda: [0.1] * 6)        # scaled by range
-    closure_scale: float = 0.01           # closure sigma = odom * 0.01 (graphWrapper.cpp:55)
-    cylinder: float = 400.0               # 100 * 4 isotropic, dim 7 (graphWrapper.cpp:60)
-    bearing: float = 1.0                  # Isotropic sigma 3 (graphWrapper.cpp:63-64)
-    noise_floor: float = 0.1              # min travel distance for scaling (graph.cpp:54)
+    prior_first_pose: Tuple[float, ...] = (1e-6,) * 6
+    odom: Tuple[float, ...] = (0.1,) * 6          # scaled by travel distance
+    cube: Tuple[float, ...] = (0.1,) * 9          # scaled by range
+    rel_meas: Tuple[float, ...] = (0.1,) * 6      # scaled by range
+    closure_scale: float = 0.01       # closure sigma = odom * 0.01 (graphWrapper.cpp:55)
+    cylinder: float = 400.0           # 100 * 4 isotropic, dim 7 (graphWrapper.cpp:60)
+    bearing: float = 1.0              # Isotropic sigma 3 (graphWrapper.cpp:63-64)
+    noise_floor: float = 0.1          # min travel distance for scaling (graph.cpp:54)
 
 
-@dataclass
+@dataclass(frozen=True)
 class PlaceRecognitionConfig:
     """place_recognition/* (sloam.yaml:26-46)."""
     search_xy_step_size: float = 0.5
@@ -44,9 +46,11 @@ class PlaceRecognitionConfig:
     match_x_half_range_intra: float = 5.0
     match_y_half_range_intra: float = 5.0
     match_yaw_half_range_intra: float = 10.0
+    # TPU grid kernel resolution cap: translations per tile (memory bound)
+    max_grid_cells: int = 1 << 22
 
 
-@dataclass
+@dataclass(frozen=True)
 class SlideGraphConfig:
     """place_recognition_slidegraph/* (sloam.yaml:49-56)."""
     num_inliers_threshold: int = 5
@@ -56,7 +60,7 @@ class SlideGraphConfig:
     epsilon: float = 0.3
 
 
-@dataclass
+@dataclass(frozen=True)
 class CapacityConfig:
     """Static-shape capacities of the engine state arrays."""
     max_poses_per_robot: int = 512
@@ -73,21 +77,19 @@ class CapacityConfig:
     submap_k_ellipsoid: int = 256         # ellipsoidMapManager KNN=1000 == "all"
 
 
-@dataclass
+@dataclass(frozen=True)
 class SolverConfig:
     """Batched Levenberg-Marquardt + PCG (replaces iSAM2, graph.cpp:14-22)."""
     max_outer_iterations: int = 8
     pcg_max_iterations: int = 128
     pcg_tol: float = 1e-6
     init_lambda: float = 1e-4
-    lambda_up: float = 4.0
-    lambda_down: float = 0.5
     # Per-keyframe incremental solves warm-start from the previous estimate
     # and use fewer outer iterations.
     incremental_outer_iterations: int = 2
 
 
-@dataclass
+@dataclass(frozen=True)
 class SlamConfig:
     # sloam.yaml top level
     use_slidematch: bool = False
@@ -130,17 +132,24 @@ class SlamConfig:
 def indoor_config() -> SlamConfig:
     """Indoor preset (sloam.yaml comments: xy step 0.1, yaw step 5 deg...)."""
     cfg = SlamConfig()
-    cfg.place_recognition.search_xy_step_size = 0.1
-    cfg.place_recognition.search_yaw_step_size_degrees = 5.0
-    cfg.place_recognition.min_num_inliers = 5
-    return cfg
+    return cfg.replace(place_recognition=dataclasses.replace(
+        cfg.place_recognition,
+        search_xy_step_size=0.1,
+        search_yaw_step_size_degrees=5.0,
+        min_num_inliers=5,
+    ))
 
 
 def forest_config() -> SlamConfig:
     cfg = SlamConfig()
-    cfg.place_recognition.search_xy_step_size = 0.5
-    cfg.place_recognition.match_threshold_position = 0.5
-    cfg.place_recognition.min_num_inliers = 15
-    cfg.place_recognition.min_num_map_objects_to_start = 100
-    cfg.slidegraph.min_num_map_objects_to_start = 100
-    return cfg
+    return cfg.replace(
+        place_recognition=dataclasses.replace(
+            cfg.place_recognition,
+            search_xy_step_size=0.5,
+            match_threshold_position=0.5,
+            min_num_inliers=15,
+            min_num_map_objects_to_start=100,
+        ),
+        slidegraph=dataclasses.replace(
+            cfg.slidegraph, min_num_map_objects_to_start=100),
+    )

@@ -31,9 +31,9 @@ class GraphState(NamedTuple):
     # ---- variables -------------------------------------------------------
     poses: jnp.ndarray        # [R*P, 7]
     pose_count: jnp.ndarray   # [R] int32
-    pose_stamps: jnp.ndarray  # [R*P] f64-as-f32 pair? stored as f32 seconds
     prior_pose: jnp.ndarray   # [R, 7] anchor value for each robot chain
     prior_valid: jnp.ndarray  # [R] bool
+    # (timestamps stay host-side in the database — they need f64)
 
     cyl_ray: jnp.ndarray      # [NC, 3]
     cyl_root: jnp.ndarray     # [NC, 3]
@@ -49,6 +49,7 @@ class GraphState(NamedTuple):
     cub_count: jnp.ndarray    # int32
 
     pt_pos: jnp.ndarray       # [NU, 3]
+    pt_scale: jnp.ndarray     # [NU, 3] ellipsoid dims (metadata, set at insert)
     pt_label: jnp.ndarray     # [NU] int32
     pt_hits: jnp.ndarray      # [NU] int32
     pt_count: jnp.ndarray     # int32
@@ -150,7 +151,6 @@ def empty_state(cfg: SlamConfig, dtype=jnp.float32) -> GraphState:
     return GraphState(
         poses=se3.identity((R * P,), dtype),
         pose_count=jnp.zeros((R,), i32),
-        pose_stamps=jnp.zeros((R * P,), jnp.float64 if dtype == jnp.float64 else jnp.float32),
         prior_pose=se3.identity((R,), dtype),
         prior_valid=jnp.zeros((R,), bool),
         cyl_ray=jnp.tile(jnp.array([[0.0, 0.0, 1.0]], dtype), (NC, 1)),
@@ -165,6 +165,7 @@ def empty_state(cfg: SlamConfig, dtype=jnp.float32) -> GraphState:
         cub_hits=jnp.zeros((NK,), i32),
         cub_count=jnp.zeros((), i32),
         pt_pos=jnp.zeros((NU, 3), dtype),
+        pt_scale=jnp.zeros((NU, 3), dtype),
         pt_label=jnp.zeros((NU,), i32),
         pt_hits=jnp.zeros((NU,), i32),
         pt_count=jnp.zeros((), i32),

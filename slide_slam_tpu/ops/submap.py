@@ -21,10 +21,15 @@ def topk_nearest(centroids: jnp.ndarray, valid: jnp.ndarray, query: jnp.ndarray,
     centroids: [N, 3]; valid: [N] bool; query: [3].
     Mirrors `getSubmap`: if fewer than k valid landmarks exist, the mask marks
     the tail invalid."""
+    n = centroids.shape[0]
+    k_eff = min(k, n)
     d2 = jnp.sum((centroids - query[None, :]) ** 2, axis=-1)
     d2 = jnp.where(valid, d2, INF)
-    neg, idx = jax.lax.top_k(-d2, k)
+    neg, idx = jax.lax.top_k(-d2, k_eff)
     mask = neg > -INF * 0.5
+    if k_eff < k:
+        idx = jnp.concatenate([idx, jnp.zeros((k - k_eff,), idx.dtype)])
+        mask = jnp.concatenate([mask, jnp.zeros((k - k_eff,), bool)])
     return idx.astype(jnp.int32), mask
 
 

@@ -1,0 +1,266 @@
+"""The jitted per-keyframe engine step.
+
+One XLA program per keyframe covering what the reference spreads across
+SLOAMNode::runSLOAMNode (sloamNode.cpp:762-1036), sloam::RunSloam
+(sloam.cpp:220-306), the three map managers' getSubmap/updateMap and
+SemanticFactorGraphWrapper::addSLOAMObservation (graphWrapper.cpp:99-237):
+
+    submap top-K -> project scan to world -> NN data association ->
+    landmark insert/hit update -> factor append -> warm-started GN solve.
+
+All state mutation is functional on fixed-capacity arrays; variable-length
+appends use cumsum destinations with out-of-bounds-drop scatters.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from ..factorgraph import solver
+from ..factorgraph.graph import GraphState
+from ..geometry import se3
+from ..objects import Cuboids, Cylinders, Ellipsoids
+from ..ops import association, distances, submap
+
+
+class StepOutput(NamedTuple):
+    pose: jnp.ndarray            # [7] optimized key pose
+    slot: jnp.ndarray            # pose slot used
+    n_new_cyl: jnp.ndarray
+    n_new_cub: jnp.ndarray
+    n_new_pt: jnp.ndarray
+    cyl_matches: jnp.ndarray     # [S] global landmark idx or -1
+    cub_matches: jnp.ndarray
+    pt_matches: jnp.ndarray
+
+
+def _append_dests(count, mask, cap):
+    """Destination indices for masked appends; invalid rows -> cap (OOB drop)."""
+    dest = count + jnp.cumsum(mask.astype(jnp.int32)) - 1
+    return jnp.where(mask, dest, cap)
+
+
+def _scaled_sigma(base_vec, dist, floor):
+    return base_vec * jnp.maximum(dist, floor)
+
+
+def _associate(map_objs, scan_w, dist_fn, k, query):
+    idx, mask = submap.topk_nearest(map_objs.centroid(), map_objs.valid,
+                                    query, k)
+    sub = jax.tree_util.tree_map(lambda a: a[idx], map_objs)
+    sub = sub._replace(valid=sub.valid & mask)
+    d = dist_fn(scan_w, sub)
+    return idx, d
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg",),
+    donate_argnames=("state",),
+)
+def keyframe_step(
+    cfg: SlamConfig,
+    state: GraphState,
+    robot_id: jnp.ndarray,          # int32 scalar
+    pose_estimate: jnp.ndarray,     # [7] prevKeyPose o relOdom (or tf o keyPose for replay)
+    rel_odom: jnp.ndarray,          # [7] measured relative motion
+    scan_cyl: Cylinders,            # body frame, padded
+    scan_cub: Cuboids,
+    scan_ell: Ellipsoids,
+    drop_detections: jnp.ndarray,   # bool: in loop-closure region (sloamNode.cpp:805-817)
+    do_solve: jnp.ndarray,          # bool: optimize after this keyframe
+    odom_noise: jnp.ndarray,        # [6]
+    cube_noise: jnp.ndarray,        # [9]
+):
+    s = state
+    cap = cfg.capacity
+    P = cap.max_poses_per_robot
+    dump = jnp.int32(1 << 30)       # OOB sentinel for dropped scatters
+
+    scan_cyl = scan_cyl._replace(valid=scan_cyl.valid & ~drop_detections)
+    scan_cub = scan_cub._replace(valid=scan_cub.valid & ~drop_detections)
+    scan_ell = scan_ell._replace(valid=scan_ell.valid & ~drop_detections)
+
+    # ---- project scan to world (sloam.cpp:205-217) -----------------------
+    cyl_w = scan_cyl.project(pose_estimate)
+    cub_w = scan_cub.project(pose_estimate)
+    ell_w = scan_ell.project(pose_estimate)
+    query = se3.trans(pose_estimate)
+
+    # ---- submap + data association (sloam.cpp:73-203) --------------------
+    cyl_map = Cylinders(root=s.cyl_root, ray=s.cyl_ray, radius=s.cyl_radius,
+                        label=s.cyl_label, valid=s.cyl_valid())
+    cyl_idx, cyl_d = _associate(cyl_map, cyl_w, distances.cylinder_pairwise,
+                                cap.submap_k_cylinder, query)
+    cyl_m_local = association.match_nearest(cyl_d, cfg.cylinder_match_thresh)
+    cyl_m = association.to_global_indices(cyl_m_local, cyl_idx)
+    cyl_m = jnp.where(scan_cyl.valid, cyl_m, -1)
+
+    cub_map = Cuboids(pose=s.cub_pose, scale=s.cub_scale, label=s.cub_label,
+                      valid=s.cub_valid())
+    cub_idx, cub_d = _associate(cub_map, cub_w, distances.cuboid_pairwise,
+                                cap.submap_k_cuboid, query)
+    cub_m_local = association.match_nearest(cub_d, cfg.cuboid_match_thresh)
+    cub_m = association.to_global_indices(cub_m_local, cub_idx)
+    cub_m = jnp.where(scan_cub.valid, cub_m, -1)
+
+    pt_map = Ellipsoids(
+        pose=se3.from_quat_trans(
+            jnp.tile(jnp.array([1.0, 0, 0, 0], s.pt_pos.dtype), (s.pt_pos.shape[0], 1)),
+            s.pt_pos),
+        scale=s.pt_scale, label=s.pt_label, valid=s.pt_valid())
+    pt_idx, pt_d = _associate(pt_map, ell_w, distances.ellipsoid_pairwise,
+                              cap.submap_k_ellipsoid, query)
+    pt_m_local = association.match_nearest(pt_d, cfg.ellipsoid_match_thresh)
+    pt_m = association.to_global_indices(pt_m_local, pt_idx)
+    pt_m = jnp.where(scan_ell.valid, pt_m, -1)
+
+    # ---- landmark insert / hit update (cylinderMapManager.cpp:35-68) -----
+    new_cyl = scan_cyl.valid & (cyl_m == -1)
+    cyl_dest = _append_dests(s.cyl_count, new_cyl, dump)
+    s = s._replace(
+        cyl_root=s.cyl_root.at[cyl_dest].set(cyl_w.root, mode="drop"),
+        cyl_ray=s.cyl_ray.at[cyl_dest].set(cyl_w.ray, mode="drop"),
+        cyl_radius=s.cyl_radius.at[cyl_dest].set(cyl_w.radius, mode="drop"),
+        cyl_label=s.cyl_label.at[cyl_dest].set(cyl_w.label, mode="drop"),
+        cyl_hits=s.cyl_hits.at[cyl_dest].set(1, mode="drop")
+                          .at[jnp.where(cyl_m >= 0, cyl_m, dump)].add(1, mode="drop"),
+        cyl_count=s.cyl_count + jnp.sum(new_cyl),
+    )
+    new_cub = scan_cub.valid & (cub_m == -1)
+    cub_dest = _append_dests(s.cub_count, new_cub, dump)
+    s = s._replace(
+        cub_pose=s.cub_pose.at[cub_dest].set(cub_w.pose, mode="drop"),
+        cub_scale=s.cub_scale.at[cub_dest].set(cub_w.scale, mode="drop"),
+        cub_label=s.cub_label.at[cub_dest].set(cub_w.label, mode="drop"),
+        cub_hits=s.cub_hits.at[cub_dest].set(1, mode="drop")
+                          .at[jnp.where(cub_m >= 0, cub_m, dump)].add(1, mode="drop"),
+        cub_count=s.cub_count + jnp.sum(new_cub),
+    )
+    new_pt = scan_ell.valid & (pt_m == -1)
+    pt_dest = _append_dests(s.pt_count, new_pt, dump)
+    s = s._replace(
+        pt_pos=s.pt_pos.at[pt_dest].set(ell_w.centroid(), mode="drop"),
+        pt_scale=s.pt_scale.at[pt_dest].set(ell_w.scale, mode="drop"),
+        pt_label=s.pt_label.at[pt_dest].set(ell_w.label, mode="drop"),
+        pt_hits=s.pt_hits.at[pt_dest].set(1, mode="drop")
+                        .at[jnp.where(pt_m >= 0, pt_m, dump)].add(1, mode="drop"),
+        pt_count=s.pt_count + jnp.sum(new_pt),
+    )
+
+    # ---- pose insert + odometry factor (graphWrapper.cpp:113-121) --------
+    count_r = s.pose_count[robot_id]
+    slot = robot_id * P + count_r
+    first = count_r == 0
+    t_rel = jnp.linalg.norm(se3.trans(rel_odom))
+    odom_sig = _scaled_sigma(odom_noise, t_rel, 0.1)
+    s = s._replace(
+        poses=s.poses.at[slot].set(pose_estimate),
+        keypose_xyz=s.keypose_xyz.at[slot].set(se3.trans(pose_estimate)),
+        odom_rel=s.odom_rel.at[slot].set(rel_odom),
+        odom_sigma=s.odom_sigma.at[slot].set(odom_sig),
+        pose_count=s.pose_count.at[robot_id].add(1),
+        prior_pose=jnp.where(first, s.prior_pose.at[robot_id].set(pose_estimate),
+                             s.prior_pose),
+        prior_valid=s.prior_valid.at[robot_id].set(s.prior_valid[robot_id] | first),
+    )
+
+    # ---- factor appends --------------------------------------------------
+    # cylinder factors: measurement is the body-frame scan object
+    # (graph.cpp:182-196 projects the world obs back by pose^-1; body == that)
+    lm7_body = jnp.concatenate(
+        [scan_cyl.ray, scan_cyl.root, scan_cyl.radius[:, None]], axis=-1)
+    cf_dest = _append_dests(s.cf_count, scan_cyl.valid, dump)
+    cyl_lm_idx = jnp.where(new_cyl, cyl_dest, cyl_m).astype(jnp.int32)
+    s = s._replace(
+        cf_pose=s.cf_pose.at[cf_dest].set(slot.astype(jnp.int32), mode="drop"),
+        cf_lm=s.cf_lm.at[cf_dest].set(cyl_lm_idx, mode="drop"),
+        cf_meas=s.cf_meas.at[cf_dest].set(lm7_body, mode="drop"),
+        cf_count=s.cf_count + jnp.sum(scan_cyl.valid),
+    )
+    # cuboid factors: body measurement + range-scaled sigma (graph.cpp:198-231)
+    kf_dest = _append_dests(s.kf_count, scan_cub.valid, dump)
+    cub_lm_idx = jnp.where(new_cub, cub_dest, cub_m).astype(jnp.int32)
+    cub_rng = jnp.linalg.norm(se3.trans(scan_cub.pose), axis=-1)
+    kf_sig = cube_noise[None, :] * jnp.maximum(cub_rng, 0.1)[:, None]
+    s = s._replace(
+        kf_pose=s.kf_pose.at[kf_dest].set(slot.astype(jnp.int32), mode="drop"),
+        kf_lm=s.kf_lm.at[kf_dest].set(cub_lm_idx, mode="drop"),
+        kf_meas_pose=s.kf_meas_pose.at[kf_dest].set(scan_cub.pose, mode="drop"),
+        kf_meas_scale=s.kf_meas_scale.at[kf_dest].set(scan_cub.scale, mode="drop"),
+        kf_sigma=s.kf_sigma.at[kf_dest].set(kf_sig, mode="drop"),
+        kf_count=s.kf_count + jnp.sum(scan_cub.valid),
+    )
+    # bearing-range factors from body-frame ellipsoid centroids
+    # (graphWrapper.cpp:159-202)
+    uf_dest = _append_dests(s.uf_count, scan_ell.valid, dump)
+    pt_lm_idx = jnp.where(new_pt, pt_dest, pt_m).astype(jnp.int32)
+    p_body = se3.trans(scan_ell.pose)
+    rng = jnp.linalg.norm(p_body, axis=-1)
+    bearing = p_body / jnp.maximum(rng[:, None], 1e-9)
+    s = s._replace(
+        uf_pose=s.uf_pose.at[uf_dest].set(slot.astype(jnp.int32), mode="drop"),
+        uf_lm=s.uf_lm.at[uf_dest].set(pt_lm_idx, mode="drop"),
+        uf_bearing=s.uf_bearing.at[uf_dest].set(bearing, mode="drop"),
+        uf_range=s.uf_range.at[uf_dest].set(rng, mode="drop"),
+        uf_count=s.uf_count + jnp.sum(scan_ell.valid),
+    )
+
+    # ---- solve (graph.cpp:260-272 -> batched GN, solver.py) --------------
+    def run_solve(st):
+        return solver.solve(
+            st,
+            cyl_sigma=cfg.noise.cylinder,
+            bearing_sigma=cfg.noise.bearing,
+            outer_iters=cfg.solver.incremental_outer_iterations,
+            pcg_iters=cfg.solver.pcg_max_iterations,
+            pcg_tol=cfg.solver.pcg_tol,
+        )
+
+    s = jax.lax.cond(do_solve, run_solve, lambda st: st, s)
+
+    out = StepOutput(
+        pose=s.poses[slot],
+        slot=slot,
+        n_new_cyl=jnp.sum(new_cyl),
+        n_new_cub=jnp.sum(new_cub),
+        n_new_pt=jnp.sum(new_pt),
+        cyl_matches=cyl_m,
+        cub_matches=cub_m,
+        pt_matches=pt_m,
+    )
+    return s, out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def solve_full(cfg: SlamConfig, state: GraphState) -> GraphState:
+    """Full (non-incremental) solve — used after loop closures / merges."""
+    return solver.solve(
+        state,
+        cyl_sigma=cfg.noise.cylinder,
+        bearing_sigma=cfg.noise.bearing,
+        outer_iters=cfg.solver.max_outer_iterations,
+        pcg_iters=cfg.solver.pcg_max_iterations,
+        pcg_tol=cfg.solver.pcg_tol,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def add_between_factor(cfg: SlamConfig, state: GraphState,
+                       slot_i: jnp.ndarray, slot_j: jnp.ndarray,
+                       rel: jnp.ndarray, sigma: jnp.ndarray) -> GraphState:
+    """Append a loop-closure / relative-measurement between factor
+    (graph.cpp:233-258)."""
+    s = state
+    k = s.bf_count
+    return s._replace(
+        bf_i=s.bf_i.at[k].set(slot_i.astype(jnp.int32)),
+        bf_j=s.bf_j.at[k].set(slot_j.astype(jnp.int32)),
+        bf_rel=s.bf_rel.at[k].set(rel),
+        bf_sigma=s.bf_sigma.at[k].set(sigma),
+        bf_count=k + 1,
+    )
