@@ -1,0 +1,379 @@
+"""SlideMatch place recognition as a dense TPU kernel.
+
+The reference runs an *anytime* CPU grid search over SE(2)xYaw
+(place_recognition.cpp:98-387): rings expanding from the origin under a
+10-second compute budget, each candidate scored by exact per-object matching.
+On TPU the whole grid is evaluated at once:
+
+1. **Label rasters** (exact disk splats): per semantic-label bin, a fine
+   occupancy grid R[l, i, j] = "some map object with label l lies within
+   match_threshold of this cell center". Built by scattering a DSxDS disk
+   stencil around every map object with the exact distance test.
+2. **Dense scoring**: for every yaw candidate, rotate the query objects once;
+   the inlier count for translation t is sum_q R[label_q, cell(t + q_rot)].
+   Because the translation grid is separable, the gather indices factor into
+   per-axis terms, so scoring the entire [Y, G, G] grid is a batched gather +
+   sum — no rings, no budget, full coverage.
+3. **Exact rescore**: the top-K raster candidates are re-scored with the
+   reference's exact criteria (label equality, exact XY distance, optional
+   dimension check, first-map-match pairing, place_recognition.cpp:281-357),
+   which removes the raster's nearest-cell rounding from the final answer.
+
+The result protocol matches findTransformation (:736-944): min-inlier gate,
+then Umeyama LSQ refinement (solveLSQ :632-695) or raw grid transform.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PlaceRecognitionConfig
+from ..geometry import se3
+
+N_LABEL_BINS = 16
+
+
+@dataclass(frozen=True)
+class SlideMatchDims:
+    """Static kernel shapes (independent of the data)."""
+    t_grid: int = 256          # translation grid per axis
+    fine_grid: int = 1024      # label-raster resolution per axis
+    disk_radius_cells: int = 12
+    max_objects: int = 384     # padded map/query object count
+    n_yaw: int = 24
+    rescore_topk: int = 64
+
+
+class MatchResult(NamedTuple):
+    x: jnp.ndarray
+    y: jnp.ndarray
+    yaw: jnp.ndarray
+    inliers: jnp.ndarray          # exact count at the winner
+    ref_pairs: jnp.ndarray        # [Q, 4] (label, x, y, z) matched map objects
+    det_pairs: jnp.ndarray        # [Q, 4] matched (untransformed) query objects
+    pair_mask: jnp.ndarray        # [Q]
+
+
+def _pad_objects(objs: np.ndarray, n: int):
+    objs = np.asarray(objs, np.float32).reshape(-1, 7)
+    k = min(len(objs), n)
+    out = np.zeros((n, 7), np.float32)
+    out[:k] = objs[:k]
+    mask = np.zeros((n,), bool)
+    mask[:k] = True
+    return jnp.asarray(out), jnp.asarray(mask)
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "ignore_dimension"))
+def _slidematch_kernel(
+    dims: SlideMatchDims,
+    ref: jnp.ndarray, ref_mask: jnp.ndarray,       # [M,7], [M]
+    qry: jnp.ndarray, qry_mask: jnp.ndarray,       # [Q,7], [Q]
+    yaws: jnp.ndarray,                             # [Y]
+    half_x: jnp.ndarray, half_y: jnp.ndarray,      # traced scalars
+    xy_step: jnp.ndarray,
+    thresh: jnp.ndarray,
+    dim_thresh: jnp.ndarray,
+    ignore_dimension: bool,
+):
+    F = dims.fine_grid
+    G = dims.t_grid
+    DR = dims.disk_radius_cells
+    M = ref.shape[0]
+    Q = qry.shape[0]
+
+    ref_xy = ref[:, 1:3]
+    qry_xy = qry[:, 1:3]
+    ref_ext = jnp.max(jnp.where(ref_mask[:, None], jnp.abs(ref_xy), 0.0))
+    qry_ext = jnp.max(jnp.where(qry_mask[:, None], jnp.abs(qry_xy), 0.0))
+    half = jnp.maximum(half_x, half_y)
+    ext = qry_ext + half + thresh + 1.0
+    ext = jnp.maximum(ext, ref_ext + thresh + 1.0)
+    # fine_step: raster must (a) cover +-ext, (b) fit the match disk inside
+    # the DSxDS stencil
+    fine_step = jnp.maximum(2.0 * ext / F, thresh / (DR - 0.5))
+
+    # ---- 1. build label rasters by exact disk splatting -------------------
+    label_bin = jnp.clip(ref[:, 0].astype(jnp.int32), 0, N_LABEL_BINS - 1)
+    base = jnp.floor((ref_xy + ext) / fine_step).astype(jnp.int32)   # [M,2]
+    offs = jnp.arange(-DR, DR + 1)
+    ox, oy = jnp.meshgrid(offs, offs, indexing="ij")                 # [D,D]
+    cell_x = base[:, 0, None, None] + ox[None]                       # [M,D,D]
+    cell_y = base[:, 1, None, None] + oy[None]
+    cx = (cell_x.astype(jnp.float32) + 0.5) * fine_step - ext
+    cy = (cell_y.astype(jnp.float32) + 0.5) * fine_step - ext
+    inside = ((cx - ref_xy[:, 0, None, None]) ** 2
+              + (cy - ref_xy[:, 1, None, None]) ** 2) < thresh ** 2
+    inside = inside & ref_mask[:, None, None]
+    ok = ((cell_x >= 0) & (cell_x < F) & (cell_y >= 0) & (cell_y < F)
+          & inside)
+    flat = (label_bin[:, None, None] * F * F + cell_x * F + cell_y)
+    flat = jnp.where(ok, flat, N_LABEL_BINS * F * F)  # OOB -> dropped
+    raster = jnp.zeros((N_LABEL_BINS * F * F,), jnp.int8)
+    raster = raster.at[flat.reshape(-1)].max(
+        jnp.ones_like(flat, jnp.int8).reshape(-1), mode="drop")
+
+    # ---- 2. dense scoring over the (yaw, tx, ty) grid ---------------------
+    # effective step grows if the requested range does not fit the grid
+    step_x = jnp.maximum(xy_step, 2.0 * half_x / (G - 1))
+    step_y = jnp.maximum(xy_step, 2.0 * half_y / (G - 1))
+    ti = (jnp.arange(G) - G // 2).astype(jnp.float32)
+    tx = ti * step_x                                                  # [G]
+    ty = ti * step_y
+    t_mask = ((jnp.abs(tx)[:, None] <= half_x + 1e-6)
+              & (jnp.abs(ty)[None, :] <= half_y + 1e-6))              # [G,G]
+
+    q_bin = jnp.clip(qry[:, 0].astype(jnp.int32), 0, N_LABEL_BINS - 1)
+    q_off = q_bin * F * F                                             # [Q]
+    qv = jnp.where(qry_mask, 1, 0)
+
+    def score_one_yaw(yaw):
+        c, s_ = jnp.cos(yaw), jnp.sin(yaw)
+        qr_x = c * qry_xy[:, 0] - s_ * qry_xy[:, 1]                   # [Q]
+        qr_y = s_ * qry_xy[:, 0] + c * qry_xy[:, 1]
+        # cell(t + q_rot) separates per axis:
+        ix = jnp.floor((tx[:, None] + qr_x[None, :] + ext)
+                       / fine_step).astype(jnp.int32)                 # [G,Q]
+        iy = jnp.floor((ty[:, None] + qr_y[None, :] + ext)
+                       / fine_step).astype(jnp.int32)                 # [G,Q]
+        ix = jnp.clip(ix, 0, F - 1)
+        iy = jnp.clip(iy, 0, F - 1)
+        row_idx = q_off[None, :] + ix * F                             # [G,Q]
+        flat_idx = row_idx[:, None, :] + iy[None, :, :]               # [G,G,Q]
+        hits = jnp.take(raster, flat_idx.reshape(-1), mode="clip")
+        hits = hits.reshape(G, G, Q).astype(jnp.int32) * qv[None, None, :]
+        return jnp.sum(hits, axis=-1)                                 # [G,G]
+
+    counts = jax.lax.map(score_one_yaw, yaws)                         # [Y,G,G]
+    counts = jnp.where(t_mask[None], counts, -1)
+
+    # ---- 3. exact rescore of the top-K raster candidates ------------------
+    K = dims.rescore_topk
+    flat_counts = counts.reshape(-1)
+    _, top_idx = jax.lax.top_k(flat_counts, K)
+    yaw_i = top_idx // (G * G)
+    tx_i = (top_idx // G) % G
+    ty_i = top_idx % G
+    cand = jnp.stack([tx[tx_i], ty[ty_i], yaws[yaw_i]], axis=1)       # [K,3]
+
+    ref_dims = ref[:, 4:7]
+    qry_dims = qry[:, 4:7]
+    # avg dim diff with the cylinder special case (only dim1 nonzero,
+    # place_recognition.cpp:315-330)
+    cyl_like = (ref_dims[:, 1] == 0) & (ref_dims[:, 2] == 0)          # [M]
+    dd = jnp.abs(ref_dims[None, :, :] - qry_dims[:, None, :])         # [Q,M,3]
+    avg_dd = jnp.where(cyl_like[None, :], dd[:, :, 0], jnp.mean(dd, axis=-1))
+    label_eq = (ref[None, :, 0] == qry[:, None, 0])                   # [Q,M]
+    dim_ok = (jnp.ones_like(label_eq) if ignore_dimension
+              else (avg_dd < dim_thresh))
+    pair_ok_static = (label_eq & dim_ok
+                      & ref_mask[None, :] & qry_mask[:, None])        # [Q,M]
+
+    def exact_count(c3):
+        cth, sth = jnp.cos(c3[2]), jnp.sin(c3[2])
+        qx = cth * qry_xy[:, 0] - sth * qry_xy[:, 1] + c3[0]
+        qy = sth * qry_xy[:, 0] + cth * qry_xy[:, 1] + c3[1]
+        d2 = ((qx[:, None] - ref_xy[None, :, 0]) ** 2
+              + (qy[:, None] - ref_xy[None, :, 1]) ** 2)              # [Q,M]
+        match = pair_ok_static & (jnp.sqrt(d2) < thresh)
+        return jnp.sum(jnp.any(match, axis=1).astype(jnp.int32)), match
+
+    exact_counts, matches = jax.lax.map(exact_count, cand)
+    best = jnp.argmax(exact_counts)
+    best_c = cand[best]
+    best_match = matches[best]                                         # [Q,M]
+
+    has_match = jnp.any(best_match, axis=1)                            # [Q]
+    first_m = jnp.argmax(best_match, axis=1)                           # [Q]
+    ref_rows = ref[first_m]                                            # [Q,7]
+    ref_pairs = jnp.concatenate([ref_rows[:, 0:1], ref_rows[:, 1:4]], axis=1)
+    det_pairs = jnp.concatenate([qry[:, 0:1], qry[:, 1:4]], axis=1)
+
+    return MatchResult(
+        x=best_c[0], y=best_c[1], yaw=best_c[2],
+        inliers=exact_counts[best],
+        ref_pairs=ref_pairs, det_pairs=det_pairs, pair_mask=has_match,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-level protocol (findTransformation / findIntra / findInter)
+# ---------------------------------------------------------------------------
+
+
+def _yaw_candidates(half_deg: float, step_deg: float, disable: bool,
+                    n_max: int) -> np.ndarray:
+    if disable:
+        return np.zeros((1,), np.float32)
+    ys = np.arange(-half_deg, half_deg - 1e-9, step_deg, dtype=np.float32)
+    if len(ys) == 0:
+        ys = np.zeros((1,), np.float32)
+    if len(ys) > n_max:
+        # coarsen uniformly to the static budget
+        ys = np.linspace(-half_deg, half_deg, n_max, endpoint=False,
+                         dtype=np.float32)
+    out = np.zeros((n_max,), np.float32)
+    out[:len(ys)] = np.deg2rad(ys)
+    out[len(ys):] = np.deg2rad(ys[-1])  # repeat last (harmless duplicates)
+    return out
+
+
+def solve_lsq(ref_pts: np.ndarray, det_pts: np.ndarray):
+    """Umeyama rigid fit det -> ref (place_recognition.cpp:632-695)."""
+    src = np.asarray(det_pts, np.float64)
+    tgt = np.asarray(ref_pts, np.float64)
+    mu_s, mu_t = src.mean(0), tgt.mean(0)
+    H = (src - mu_s).T @ (tgt - mu_t)
+    U, _, Vt = np.linalg.svd(H)
+    R = Vt.T @ U.T
+    if np.linalg.det(R) < 0:
+        V2 = Vt.T.copy()
+        V2[:, 2] *= -1
+        R = V2 @ U.T
+    t = mu_t - R @ mu_s
+    tf = np.eye(4)
+    tf[:3, :3] = R
+    tf[:3, 3] = t
+    return tf
+
+
+def _tf_from_xyyaw(x, y, yaw, z=0.0):
+    tf = np.eye(4)
+    c, s = np.cos(yaw), np.sin(yaw)
+    tf[0, 0], tf[0, 1], tf[1, 0], tf[1, 1] = c, -s, s, c
+    tf[0, 3], tf[1, 3], tf[2, 3] = x, y, z
+    return tf
+
+
+class PlaceRecognition:
+    """SlideMatch searcher (one per node, like PlaceRecognition instances in
+    sloamNode.h)."""
+
+    def __init__(self, cfg: PlaceRecognitionConfig,
+                 dims: Optional[SlideMatchDims] = None):
+        self.cfg = cfg
+        self.dims = dims or SlideMatchDims()
+
+    # -- core --------------------------------------------------------------
+    def find_transformation(self, reference_objects: np.ndarray,
+                            query_objects: np.ndarray, intra: bool):
+        """Returns (found, xyzyaw [4], tf [4,4], n_inliers).
+
+        reference/query rows: [label, x, y, z, dim1, dim2, dim3]."""
+        cfg = self.cfg
+        reference_objects = np.asarray(reference_objects, np.float32).reshape(-1, 7)
+        query_objects = np.asarray(query_objects, np.float32).reshape(-1, 7)
+        if len(reference_objects) == 0 or len(query_objects) == 0:
+            return False, None, None, 0
+
+        cen_ref = np.zeros(2)
+        cen_qry = np.zeros(2)
+        if not intra:
+            # centroid shift + auto search range (place_recognition.cpp:745-798)
+            cen_ref = reference_objects[:, 1:3].mean(0)
+            cen_qry = query_objects[:, 1:3].mean(0)
+            reference_objects = reference_objects.copy()
+            query_objects = query_objects.copy()
+            reference_objects[:, 1:3] -= cen_ref
+            query_objects[:, 1:3] -= cen_qry
+            b_ref = np.abs(reference_objects[:, 1:3]).max(0)
+            b_qry = np.abs(query_objects[:, 1:3]).max(0)
+            half_x = max(b_ref[0], b_qry[0])
+            half_y = max(b_ref[1], b_qry[1])
+            if not cfg.disable_yaw_search:
+                half_x = half_y = max(half_x, half_y)
+            half_x *= cfg.dilation_factor
+            half_y *= cfg.dilation_factor
+            yaw_half, yaw_step = cfg.match_yaw_half_range, cfg.search_yaw_step_size_degrees
+        else:
+            half_x = cfg.match_x_half_range_intra
+            half_y = cfg.match_y_half_range_intra
+            yaw_half, yaw_step = cfg.match_yaw_half_range_intra, cfg.search_yaw_step_size_degrees
+
+        yaws = _yaw_candidates(yaw_half, yaw_step, cfg.disable_yaw_search,
+                               self.dims.n_yaw)
+        ref_p, ref_m = _pad_objects(reference_objects, self.dims.max_objects)
+        qry_p, qry_m = _pad_objects(query_objects, self.dims.max_objects)
+        res = _slidematch_kernel(
+            self.dims, ref_p, ref_m, qry_p, qry_m, jnp.asarray(yaws),
+            jnp.float32(half_x), jnp.float32(half_y),
+            jnp.float32(cfg.search_xy_step_size),
+            jnp.float32(cfg.match_threshold_position),
+            jnp.float32(cfg.match_threshold_dimension),
+            cfg.ignore_dimension,
+        )
+        n_inliers = int(res.inliers)
+        if n_inliers < cfg.min_num_inliers:
+            return False, None, None, n_inliers
+
+        pair_mask = np.asarray(res.pair_mask)
+        ref_pts = np.asarray(res.ref_pairs)[pair_mask][:, 1:4]
+        det_pts = np.asarray(res.det_pairs)[pair_mask][:, 1:4]
+        if not intra:
+            ref_pts = ref_pts.copy()
+            det_pts = det_pts.copy()
+            ref_pts[:, :2] += cen_ref
+            det_pts[:, :2] += cen_qry
+
+        if cfg.use_nonlinear_least_squares and len(ref_pts) >= 3:
+            tf = solve_lsq(ref_pts, det_pts)
+        else:
+            tf_raw = _tf_from_xyyaw(float(res.x), float(res.y), float(res.yaw))
+            if not intra:
+                # revertCentroidShift (place_recognition.cpp:947-967)
+                h1 = np.eye(4); h1[0, 3], h1[1, 3] = cen_ref
+                h2 = np.eye(4); h2[0, 3], h2[1, 3] = -cen_qry
+                tf = h1 @ tf_raw @ h2
+            else:
+                tf = tf_raw
+        yaw = float(np.arctan2(tf[1, 0], tf[0, 0]))
+        xyzyaw = [float(tf[0, 3]), float(tf[1, 3]), float(tf[2, 3]), yaw]
+        return True, xyzyaw, tf, n_inliers
+
+    # -- entry points ------------------------------------------------------
+    def find_intra_loop_closure(self, measurements: np.ndarray,
+                                submap: np.ndarray, query_pose: np.ndarray,
+                                candidate_pose: np.ndarray):
+        """place_recognition.cpp:389-496. measurements are body-frame rows;
+        returns (found, tfFromQuery2Candidate [4,4])."""
+        measurements = np.asarray(measurements, np.float32).reshape(-1, 7)
+        if len(measurements) < 4 or len(submap) == 0:
+            return False, None
+        # project measurements into map frame by the (drifted) query pose
+        qmat = np.asarray(se3.matrix(jnp.asarray(query_pose)), np.float64)
+        meas_map = measurements.copy()
+        pos_h = np.concatenate(
+            [measurements[:, 1:4], np.ones((len(measurements), 1), np.float32)],
+            axis=1)
+        meas_map[:, 1:4] = (qmat @ pos_h.T).T[:, :3].astype(np.float32)
+
+        found, xyzyaw, _, _ = self.find_transformation(submap, meas_map,
+                                                       intra=True)
+        if not found:
+            return False, None
+        x, y, _, yaw = xyzyaw
+        # drift correction compose (place_recognition.cpp:455-495): z forced 0
+        lc_tf = _tf_from_xyyaw(x, y, yaw, z=0.0)
+        q = np.asarray(se3.matrix(jnp.asarray(query_pose)), np.float64)
+        c = np.asarray(se3.matrix(jnp.asarray(candidate_pose)), np.float64)
+        tf_qd2c = np.linalg.inv(c) @ q
+        tf_q2c = tf_qd2c @ lc_tf
+        return True, tf_q2c
+
+    def find_inter_loop_closure(self, reference_map: np.ndarray,
+                                query_map: np.ndarray):
+        """place_recognition.cpp:498-538: (found, tfFromQueryToRef [4,4])."""
+        if (len(reference_map) < self.cfg.min_num_map_objects_to_start
+                or len(query_map) < self.cfg.min_num_map_objects_to_start):
+            return False, None
+        found, xyzyaw, _, _ = self.find_transformation(reference_map,
+                                                       query_map, intra=False)
+        if not found:
+            return False, None
+        x, y, z, yaw = xyzyaw
+        return True, _tf_from_xyyaw(x, y, yaw, z)

@@ -1,0 +1,191 @@
+"""SlideMatch place-recognition tests.
+
+Parity target: place_recognition_test.cpp — synthesize/load object maps,
+apply a known SE(2) transform, assert the search recovers it."""
+import os
+
+import numpy as np
+import pytest
+
+from slide_slam_tpu.config import PlaceRecognitionConfig
+from slide_slam_tpu.place_recognition.slidematch import (
+    PlaceRecognition, SlideMatchDims, solve_lsq)
+
+REF_DATA = "/root/reference/backend/sloam/clipper_semantic_object/examples/data"
+
+TEST_DIMS = SlideMatchDims(t_grid=128, fine_grid=512, disk_radius_cells=12,
+                           max_objects=256, n_yaw=24, rescore_topk=32)
+
+
+def random_objects(rng, n=60, extent=20.0, n_labels=3):
+    objs = np.zeros((n, 7), np.float32)
+    objs[:, 0] = rng.integers(0, n_labels, n)
+    objs[:, 1:3] = rng.uniform(-extent, extent, (n, 2))
+    objs[:, 3] = rng.uniform(0, 1, n)
+    objs[:, 4] = rng.uniform(0.2, 0.6, n)
+    return objs
+
+
+def transform_objects(objs, x, y, yaw):
+    out = objs.copy()
+    c, s = np.cos(yaw), np.sin(yaw)
+    px, py = objs[:, 1].copy(), objs[:, 2].copy()
+    out[:, 1] = c * px - s * py + x
+    out[:, 2] = s * px + c * py + y
+    return out
+
+
+def make_pr(**kw):
+    cfg = PlaceRecognitionConfig(
+        search_xy_step_size=kw.pop("step", 0.25),
+        search_yaw_step_size_degrees=kw.pop("yaw_step", 15.0),
+        match_threshold_position=kw.pop("thresh", 0.75),
+        min_num_inliers=kw.pop("min_inliers", 8),
+        min_num_map_objects_to_start=5,
+        **kw,
+    )
+    return PlaceRecognition(cfg, TEST_DIMS)
+
+
+def check_tf(tf, x, y, yaw, tol_xy=0.35, tol_yaw=0.1):
+    got_yaw = np.arctan2(tf[1, 0], tf[0, 0])
+    assert abs(tf[0, 3] - x) < tol_xy, (tf[0, 3], x)
+    assert abs(tf[1, 3] - y) < tol_xy, (tf[1, 3], y)
+    dyaw = np.arctan2(np.sin(got_yaw - yaw), np.cos(got_yaw - yaw))
+    assert abs(dyaw) < tol_yaw, (got_yaw, yaw)
+
+
+def test_solve_lsq_exact():
+    rng = np.random.default_rng(0)
+    src = rng.normal(size=(20, 3))
+    yaw = 0.6
+    c, s = np.cos(yaw), np.sin(yaw)
+    R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+    t = np.array([2.0, -1.0, 0.5])
+    tgt = (R @ src.T).T + t
+    tf = solve_lsq(tgt, src)
+    np.testing.assert_allclose(tf[:3, :3], R, atol=1e-9)
+    np.testing.assert_allclose(tf[:3, 3], t, atol=1e-9)
+
+
+def test_inter_identity():
+    """Query == reference: must find (0,0,0)."""
+    rng = np.random.default_rng(1)
+    ref = random_objects(rng, 60)
+    pr = make_pr()
+    found, tf = pr.find_inter_loop_closure(ref, ref.copy())
+    assert found
+    check_tf(tf, 0, 0, 0)
+
+
+def test_inter_translation_only():
+    rng = np.random.default_rng(2)
+    ref = random_objects(rng, 60)
+    x, y = 6.0, -4.0
+    qry = transform_objects(ref, -x * np.cos(0) - 0, -y, 0.0)
+    # qry = T^-1(ref): the search finds tf mapping query -> ref = (x, y)
+    qry = transform_objects(ref, -x, -y, 0.0)
+    pr = make_pr()
+    found, tf = pr.find_inter_loop_closure(ref, qry)
+    assert found
+    check_tf(tf, x, y, 0)
+
+
+def test_inter_rotation_translation_with_noise_and_partial_overlap():
+    rng = np.random.default_rng(3)
+    ref = random_objects(rng, 80)
+    yaw = np.deg2rad(45.0)
+    x, y = 3.0, 5.0
+    # query = inverse transform of a subset of ref, plus noise + clutter
+    tf_inv = np.linalg.inv(
+        np.array([[np.cos(yaw), -np.sin(yaw), 0, x],
+                  [np.sin(yaw), np.cos(yaw), 0, y],
+                  [0, 0, 1, 0], [0, 0, 0, 1.0]]))
+    subset = ref[rng.permutation(80)[:60]]
+    qry = transform_objects(subset, tf_inv[0, 3], tf_inv[1, 3],
+                            np.arctan2(tf_inv[1, 0], tf_inv[0, 0]))
+    qry[:, 1:3] += rng.normal(0, 0.05, (len(qry), 2))
+    clutter = random_objects(rng, 10, extent=15.0)
+    qry = np.concatenate([qry, clutter])
+    pr = make_pr()
+    found, tf = pr.find_inter_loop_closure(ref, qry)
+    assert found
+    check_tf(tf, x, y, yaw, tol_xy=0.5, tol_yaw=0.12)
+
+
+def test_inter_rejects_unrelated_maps():
+    rng = np.random.default_rng(4)
+    ref = random_objects(rng, 60, extent=20.0)
+    qry = random_objects(np.random.default_rng(999), 60, extent=20.0)
+    pr = make_pr(min_inliers=25)
+    found, _ = pr.find_inter_loop_closure(ref, qry)
+    assert not found
+
+
+def test_min_objects_gate():
+    rng = np.random.default_rng(5)
+    ref = random_objects(rng, 3)
+    pr = make_pr()
+    found, _ = pr.find_inter_loop_closure(ref, ref)
+    assert not found
+
+
+def test_intra_loop_closure_corrects_known_drift():
+    """Body-frame measurements seen from a drifted pose: the returned
+    tfFromQuery2Candidate must equal candidate^-1 * query * drift_correction."""
+    import jax.numpy as jnp
+    from slide_slam_tpu.geometry import se3
+
+    rng = np.random.default_rng(6)
+    world = random_objects(rng, 50, extent=10.0)
+    true_pose = np.asarray(se3.from_xyz_yaw(2.0, 1.0, 0.0, 0.3))
+    # drifted estimate of the same pose
+    drift = np.asarray(se3.from_xyz_yaw(1.2, -0.8, 0.0, 0.0))
+    drifted_pose = np.asarray(se3.compose(jnp.asarray(true_pose),
+                                          jnp.asarray(drift)))
+    # measurements in body frame of the TRUE pose
+    inv = se3.inverse(jnp.asarray(true_pose))
+    meas = world.copy()
+    ph = np.concatenate([world[:, 1:4], np.ones((len(world), 1))], axis=1)
+    mat = np.asarray(se3.matrix(inv))
+    meas[:, 1:4] = (mat @ ph.T).T[:, :3]
+
+    # yaw_step=5 so the intra yaw candidates (+-10 deg half range) include 0
+    pr = make_pr(step=0.1, yaw_step=5.0, min_inliers=8)
+    candidate = np.asarray(se3.from_xyz_yaw(0.0, 0.0, 0.0, 0.0))
+    found, tf_q2c = pr.find_intra_loop_closure(meas, world, drifted_pose,
+                                               candidate)
+    assert found
+    # Reference composition (place_recognition.cpp:478-495):
+    # tf = (candidate^-1 * drifted) * T_corr with T_corr the map-frame
+    # correction (true * drifted^-1, z zeroed, yaw-only rotation).
+    t_mat = np.asarray(se3.matrix(jnp.asarray(true_pose)), np.float64)
+    d_mat = np.asarray(se3.matrix(jnp.asarray(drifted_pose)), np.float64)
+    c_mat = np.asarray(se3.matrix(jnp.asarray(candidate)), np.float64)
+    corr = t_mat @ np.linalg.inv(d_mat)
+    lc = np.eye(4)
+    yaw_c = np.arctan2(corr[1, 0], corr[0, 0])
+    lc[:2, :2] = [[np.cos(yaw_c), -np.sin(yaw_c)], [np.sin(yaw_c), np.cos(yaw_c)]]
+    lc[0, 3], lc[1, 3] = corr[0, 3], corr[1, 3]
+    expect = np.linalg.inv(c_mat) @ d_mat @ lc
+    np.testing.assert_allclose(tf_q2c[:2, 3], expect[:2, 3], atol=0.15)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DATA),
+                    reason="reference fixture maps not available")
+def test_reference_forest_fixture_self_match():
+    """Golden-data check on the reference's recorded forest map."""
+    ref = np.loadtxt(os.path.join(REF_DATA, "robot0Map_forest.txt"))
+    objs = np.zeros((len(ref), 7), np.float32)
+    objs[:, :4] = ref[:, :4]
+    x, y, yaw = 4.0, -7.0, np.deg2rad(30.0)
+    tf_fwd = np.array([[np.cos(yaw), -np.sin(yaw), 0, x],
+                       [np.sin(yaw), np.cos(yaw), 0, y],
+                       [0, 0, 1, 0], [0, 0, 0, 1.0]])
+    tf_inv = np.linalg.inv(tf_fwd)
+    qry = transform_objects(objs, tf_inv[0, 3], tf_inv[1, 3],
+                            np.arctan2(tf_inv[1, 0], tf_inv[0, 0]))
+    pr = make_pr(step=0.5, thresh=0.5, min_inliers=15)
+    found, tf = pr.find_inter_loop_closure(objs, qry)
+    assert found
+    check_tf(tf, x, y, yaw, tol_xy=0.6, tol_yaw=0.1)
