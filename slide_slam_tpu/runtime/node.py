@@ -2,91 +2,58 @@
 
 The orchestration layer of the reference's SLOAMNode + InputManager
 (sloamNode.cpp, inputNode.cpp) without ROS: a thin host loop that pads
-measurements, drives the jitted keyframe step, and keeps the host-side
-database (timestamps, body-frame measurement packets for comm and loop
-closure — the PoseMstPair deque of databaseManager.h:45-73).
+measurements, drives the jitted keyframe step, runs the loop-closure and
+map-merge paths, and keeps the host-side database (timestamps + body-frame
+measurement packets — the PoseMstPair deque of databaseManager.h:45-73).
 """
 from __future__ import annotations
 
-import dataclasses
 import time
-from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..comm.database import DatabaseManager, PoseMstPair, packet_from_obs
 from ..config import SlamConfig
 from ..factorgraph.graph import GraphState, empty_state
 from ..geometry import se3
 from ..objects import Cuboids, Cylinders, Ellipsoids, pad_boxlike, pad_cylinders
-from . import engine
+from ..place_recognition.slidegraph import SlideGraph
+from ..place_recognition.slidematch import PlaceRecognition, SlideMatchDims
+from . import engine, scheduler
 
 
-@dataclass
-class PoseMstPair:
-    """One keyframe packet (== sloam_msgs/PoseMst): key pose estimate at
-    insertion time, raw relative odometry, stamp, body-frame measurements."""
-    stamp: float
-    key_pose: np.ndarray            # [7]
-    rel_odom: np.ndarray            # [7]
-    cyl_root: np.ndarray
-    cyl_ray: np.ndarray
-    cyl_radius: np.ndarray
-    cyl_label: np.ndarray
-    cub_pose: np.ndarray
-    cub_scale: np.ndarray
-    cub_label: np.ndarray
-    ell_pose: np.ndarray
-    ell_scale: np.ndarray
-    ell_label: np.ndarray
-
-
-def packet_from_obs(stamp, key_pose, rel_odom, obs: dict) -> PoseMstPair:
-    return PoseMstPair(
-        stamp=float(stamp), key_pose=np.asarray(key_pose, np.float32),
-        rel_odom=np.asarray(rel_odom, np.float32),
-        cyl_root=obs.get("cyl_root", np.zeros((0, 3), np.float32)),
-        cyl_ray=obs.get("cyl_ray", np.zeros((0, 3), np.float32)),
-        cyl_radius=obs.get("cyl_radius", np.zeros((0,), np.float32)),
-        cyl_label=obs.get("cyl_label", np.zeros((0,), np.int32)),
-        cub_pose=obs.get("cub_pose", np.zeros((0, 7), np.float32)),
-        cub_scale=obs.get("cub_scale", np.zeros((0, 3), np.float32)),
-        cub_label=obs.get("cub_label", np.zeros((0,), np.int32)),
-        ell_pose=obs.get("ell_pose", np.zeros((0, 7), np.float32)),
-        ell_scale=obs.get("ell_scale", np.zeros((0, 3), np.float32)),
-        ell_label=obs.get("ell_label", np.zeros((0,), np.int32)),
-    )
-
-
-@dataclass
-class RobotDatabase:
-    """Per-robot record (databaseManager.h:45-73)."""
-    packets: List[PoseMstPair] = field(default_factory=list)
-    bookmark_fg: int = 0            # next packet to fold into the factor graph
-    compact_map: np.ndarray = field(
-        default_factory=lambda: np.zeros((0, 7), np.float32))
+def _np(x):
+    return np.asarray(x, np.float32)
 
 
 class SlamNode:
     """One robot's backend: device GraphState + host database.
 
-    `hostRobotID` owns pose chain `robot_id` inside the shared GraphState; the
-    chains of peers are filled by the replay/merge path (multi-robot)."""
+    `robot_id` owns pose chain `robot_id` inside the shared GraphState; peer
+    chains are filled by the replay/merge path (sloamNode.cpp:912-1008)."""
 
-    def __init__(self, cfg: SlamConfig, robot_id: int):
+    def __init__(self, cfg: SlamConfig, robot_id: int,
+                 prior_tf_known: bool = False,
+                 prior_tf_xyz: Optional[np.ndarray] = None,
+                 slidematch_dims: Optional[SlideMatchDims] = None):
         self.cfg = cfg
         self.robot_id = robot_id
         self.state: GraphState = empty_state(cfg)
-        self.db: Dict[int, RobotDatabase] = {robot_id: RobotDatabase()}
-        self.loop_closure_tf: Dict[int, np.ndarray] = {}   # peer -> SE3 [7]
-        self.key_poses: List[np.ndarray] = []              # optimized poses
+        self.dbm = DatabaseManager(
+            robot_id, cfg.number_of_robots,
+            communication_wait_time=cfg.communication_wait_time,
+            prior_tf_known=prior_tf_known, prior_tf_xyz=prior_tf_xyz)
+        self.place_recognition = PlaceRecognition(cfg.place_recognition,
+                                                  slidematch_dims)
+        self.slidegraph = SlideGraph(cfg.slidegraph)
+        self.key_poses: List[np.ndarray] = []
         self.key_stamps: List[float] = []
         self.latest_odom: Optional[np.ndarray] = None
-        self.latest_odom_stamp: float = -np.inf
         self.is_in_lc_region = False
-        # runtime accounting (sloamNode.h:79-91 equivalents)
+        self.feasible_relative_meas: List[scheduler.RelativeMeas] = []
+        # runtime accounting (sloamNode.h:79-91)
         self.data_association_time: List[float] = []
         self.fg_time: List[float] = []
         self.intra_lc_time: List[float] = []
@@ -95,8 +62,11 @@ class SlamNode:
         self.num_success_intra = 0
         self.num_attempts_inter = 0
         self.num_success_inter = 0
-        self._noise_odom = jnp.asarray(np.asarray(cfg.noise.odom, np.float32))
-        self._noise_cube = jnp.asarray(np.asarray(cfg.noise.cube, np.float32))
+        self.num_rel_factors = 0
+        self.last_intra_attempt_pose = -1
+        self._noise_odom = jnp.asarray(_np(self.cfg.noise.odom))
+        self._noise_cube = jnp.asarray(_np(self.cfg.noise.cube))
+        self._closure_sigma = _np(self.cfg.noise.odom) * self.cfg.noise.closure_scale
 
     # ------------------------------------------------------------------
     def _pad_obs(self, p: PoseMstPair):
@@ -109,42 +79,49 @@ class SlamNode:
     def prev_key_pose(self) -> np.ndarray:
         if self.key_poses:
             return self.key_poses[-1]
-        return np.asarray(se3.identity(), np.float32)
+        return _np(se3.identity())
 
+    # ------------------------------------------------------------------
+    # Main keyframe path
     # ------------------------------------------------------------------
     def process_keyframe(self, stamp: float, odom_pose: np.ndarray,
                          obs: dict) -> np.ndarray:
-        """Main path (inputNode.cpp:88-186 case 1/2): integrate one keyframe.
+        """inputNode.cpp:88-186 case 1/2: integrate one keyframe.
 
-        odom_pose: the raw odometry pose synced with the observation.
+        odom_pose: raw odometry pose synced with the observation.
         Returns the optimized key pose."""
-        odom_pose = np.asarray(odom_pose, np.float32)
+        odom_pose = _np(odom_pose)
         if self.latest_odom is None:
-            rel = np.asarray(se3.identity(), np.float32)
+            rel = _np(se3.identity())
         else:
-            rel = np.asarray(se3.between(jnp.asarray(self.latest_odom),
-                                         jnp.asarray(odom_pose)), np.float32)
-        prev = self.prev_key_pose()
+            rel = _np(se3.between(jnp.asarray(self.latest_odom),
+                                  jnp.asarray(odom_pose)))
         if not self.key_poses:
-            pose_est = odom_pose  # first keyframe anchors at raw odometry
+            pose_est = odom_pose
         else:
-            pose_est = np.asarray(
-                se3.compose(jnp.asarray(prev), jnp.asarray(rel)), np.float32)
+            pose_est = _np(se3.compose(jnp.asarray(self.prev_key_pose()),
+                                       jnp.asarray(rel)))
+
+        # loop-closure-region check (inputNode.cpp:105-119)
+        if not self.cfg.turn_off_intra_loop_closure:
+            self.is_in_lc_region = self.in_loop_closure_region(pose_est)
 
         packet = packet_from_obs(stamp, pose_est, rel, obs)
-        self.db[self.robot_id].packets.append(packet)
+        self.dbm.host_record().packets.append(packet)
 
         new_pose = self._step(self.robot_id, pose_est, rel, packet,
                               drop=self.is_in_lc_region, solve=True)
-        self.key_poses.append(np.asarray(new_pose, np.float32))
+        self.key_poses.append(new_pose)
         self.key_stamps.append(float(stamp))
         self.latest_odom = odom_pose
-        self.latest_odom_stamp = float(stamp)
-        self.db[self.robot_id].bookmark_fg = len(self.db[self.robot_id].packets)
-        return self.key_poses[-1]
+        self.dbm.host_record().bookmark_fg = len(self.dbm.host_record().packets)
+        # multi-robot: fold any pending peer keyframes (sloamNode.cpp:912-1008)
+        self.replay_peers()
+        self.dbm.update_robot_map(self.compact_map())
+        return new_pose
 
     def _step(self, robot_id: int, pose_est, rel, packet: PoseMstPair,
-              drop: bool, solve: bool):
+              drop: bool, solve: bool) -> np.ndarray:
         cyl, cub, ell = self._pad_obs(packet)
         t0 = time.perf_counter()
         self.state, out = engine.keyframe_step(
@@ -154,17 +131,238 @@ class SlamNode:
             jnp.asarray(drop), jnp.asarray(solve),
             self._noise_odom, self._noise_cube,
         )
-        pose = np.asarray(out.pose)
+        pose = _np(out.pose)
         self.fg_time.append(time.perf_counter() - t0)
         return pose
 
     # ------------------------------------------------------------------
-    def optimized_trajectory(self) -> np.ndarray:
-        """Pull the robot's optimized pose chain off the device."""
+    # Multi-robot merge (sloamNode.cpp:912-1008)
+    # ------------------------------------------------------------------
+    def replay_peers(self):
+        for rid, rec in self.dbm.records.items():
+            if rid == self.robot_id:
+                continue
+            tf = self.dbm.loop_closure_tf.get(rid)
+            if tf is None:
+                continue
+            n = len(rec.packets)
+            if rec.bookmark_fg >= n:
+                continue
+            for i in range(rec.bookmark_fg, n):
+                p = rec.packets[i]
+                pose_in_ref = _np(se3.compose(jnp.asarray(tf),
+                                              jnp.asarray(p.key_pose)))
+                self._step(rid, pose_in_ref, p.rel_odom, p, drop=False,
+                           solve=False)
+            self.state = engine.solve_full(self.cfg, self.state)
+            rec.bookmark_fg = n
+
+    # ------------------------------------------------------------------
+    # Loop-closure paths
+    # ------------------------------------------------------------------
+    def in_loop_closure_region(self, pose: np.ndarray) -> bool:
+        """CylinderMapManager::InLoopClosureRegion (cylinderMapManager.cpp:114-158)."""
+        cfg = self.cfg
         n = int(self.state.pose_count[self.robot_id])
+        if n < cfg.lc_min_poses_old_region:
+            return False
+        base = self.robot_id * cfg.capacity.max_poses_per_robot
+        xyz = np.asarray(self.state.keypose_xyz[base:base + n])
+        q = _np(pose)[4:7]
+        dxy = np.linalg.norm(xyz[:, :2] - q[:2], axis=1)
+        dz = np.abs(xyz[:, 2] - q[2])
+        old = (n - 1) - np.arange(n) > cfg.lc_min_poses_old_region
+        return bool(np.any((dxy <= cfg.lc_max_dist_xy)
+                           & (dz <= cfg.lc_max_dist_z) & old))
+
+    def _loop_candidate_idx(self, pose_idx: int) -> Optional[int]:
+        """getLoopCandidateIdx (cylinderMapManager.cpp:160-184): nearest pose
+        within 15 m that is >= 50 poses older."""
+        cfg = self.cfg
+        n = int(self.state.pose_count[self.robot_id])
+        if n < 50:
+            return None
+        base = self.robot_id * cfg.capacity.max_poses_per_robot
+        xyz = np.asarray(self.state.keypose_xyz[base:base + n])
+        d = np.linalg.norm(xyz - xyz[pose_idx], axis=1)
+        eligible = ((d <= cfg.lc_candidate_max_dist)
+                    & (pose_idx - np.arange(n) > cfg.lc_candidate_min_poses_old))
+        if not np.any(eligible):
+            return None
+        d = np.where(eligible, d, np.inf)
+        return int(np.argmin(d))
+
+    def _keypose_submap_rows(self, pose: np.ndarray, radius: float) -> np.ndarray:
+        """getkeyPoseSubmap x3 -> Vector7d rows (sloamNode.cpp:420-437,
+        prepareLCInput :544-576). Includes the hard-coded 1.5 m z gate for
+        cylinders (cylinderMapManager.cpp:186-211)."""
+        s = self.state
+        q = _np(pose)[4:7]
+        rows = []
+        nc = int(s.cyl_count)
+        if nc:
+            root = np.asarray(s.cyl_root[:nc])
+            # Cylinder::distance(point): axis distance minus radius
+            rad = np.asarray(s.cyl_radius[:nc])
+            lab = np.asarray(s.cyl_label[:nc])
+            d = np.linalg.norm(root - q, axis=1)
+            keep = (d <= radius) & (np.abs(root[:, 2] - q[2]) < 1.5)
+            rows.append(np.concatenate([
+                lab[keep, None].astype(np.float32), root[keep],
+                rad[keep, None], np.zeros((keep.sum(), 2), np.float32)], axis=1))
+        nk = int(s.cub_count)
+        if nk:
+            tr = np.asarray(s.cub_pose[:nk, 4:7])
+            lab = np.asarray(s.cub_label[:nk])
+            sc = np.asarray(s.cub_scale[:nk])
+            d = np.linalg.norm(tr - q, axis=1)
+            keep = (d <= radius) & (np.abs(tr[:, 2] - q[2]) < 1.5)
+            rows.append(np.concatenate([
+                lab[keep, None].astype(np.float32), tr[keep], sc[keep]], axis=1))
+        nu = int(s.pt_count)
+        if nu:
+            tr = np.asarray(s.pt_pos[:nu])
+            lab = np.asarray(s.pt_label[:nu])
+            sc = np.asarray(s.pt_scale[:nu])
+            d = np.linalg.norm(tr - q, axis=1)
+            keep = (d <= radius) & (np.abs(tr[:, 2] - q[2]) < 1.5)
+            rows.append(np.concatenate([
+                lab[keep, None].astype(np.float32), tr[keep], sc[keep]], axis=1))
+        if not rows:
+            return np.zeros((0, 7), np.float32)
+        return np.concatenate(rows, axis=0)
+
+    @staticmethod
+    def packet_measurement_rows(p: PoseMstPair) -> np.ndarray:
+        """prepareLCInput on a packet's body-frame measurements."""
+        rows = []
+        if len(p.cyl_radius):
+            rows.append(np.concatenate([
+                p.cyl_label[:, None].astype(np.float32), p.cyl_root,
+                p.cyl_radius[:, None],
+                np.zeros((len(p.cyl_radius), 2), np.float32)], axis=1))
+        if len(p.cub_label):
+            rows.append(np.concatenate([
+                p.cub_label[:, None].astype(np.float32), p.cub_pose[:, 4:7],
+                p.cub_scale], axis=1))
+        if len(p.ell_label):
+            rows.append(np.concatenate([
+                p.ell_label[:, None].astype(np.float32), p.ell_pose[:, 4:7],
+                p.ell_scale], axis=1))
+        if not rows:
+            return np.zeros((0, 7), np.float32)
+        return np.concatenate(rows, axis=0)
+
+    def attempt_intra_loop_closure(self) -> bool:
+        """intraLoopClosureThread_ body (sloamNode.cpp:355-486)."""
+        cfg = self.cfg
+        if not self.is_in_lc_region:
+            return False
+        latest = int(self.state.pose_count[self.robot_id]) - 1
+        if latest < cfg.lc_min_pose_idx or latest == self.last_intra_attempt_pose:
+            return False
+        self.num_attempts_intra += 1
+        self.last_intra_attempt_pose = latest
+        cand = self._loop_candidate_idx(latest)
+        if cand is None:
+            return False
+        packet = self.dbm.host_record().packets[latest]
+        meas = self.packet_measurement_rows(packet)
+        base = self.robot_id * cfg.capacity.max_poses_per_robot
+        cand_pose = np.asarray(self.state.poses[base + cand])
+        query_pose = packet.key_pose
+        submap = self._keypose_submap_rows(cand_pose, cfg.lc_submap_radius)
+        t0 = time.perf_counter()
+        found, tf_q2c = self.place_recognition.find_intra_loop_closure(
+            meas, submap, query_pose, cand_pose)
+        self.intra_lc_time.append(time.perf_counter() - t0)
+        if not found:
+            return False
+        self.num_success_intra += 1
+        rel = _np(se3.from_matrix(jnp.asarray(tf_q2c)))
+        self.add_loop_closure_factor(cand, self.robot_id, latest,
+                                     self.robot_id, rel)
+        self.state = engine.solve_full(self.cfg, self.state)
+        self._refresh_key_poses()
+        return True
+
+    def attempt_inter_loop_closure(self) -> List[int]:
+        """interLoopClosureThread_ body (sloamNode.cpp:578-697). Returns ids
+        of peers whose TF was discovered this attempt."""
+        cfg = self.cfg
+        found_ids = []
+        peers = [rid for rid in self.dbm.records
+                 if rid != self.robot_id and rid not in self.dbm.loop_closure_tf]
+        if not peers:
+            return found_ids
+        self.num_attempts_inter += 1
+        ref_map = self.dbm.get_robot_map(self.robot_id)
+        if len(ref_map) == 0:
+            return found_ids
+        for rid in peers:
+            qry_map = self.dbm.get_robot_map(rid)
+            if len(qry_map) == 0:
+                continue
+            t0 = time.perf_counter()
+            if cfg.use_slidematch:
+                found, tf = self.place_recognition.find_inter_loop_closure(
+                    ref_map, qry_map)
+            else:
+                found, tf = self.slidegraph.find_inter_loop_closure(
+                    ref_map, qry_map)
+            self.inter_lc_time.append(time.perf_counter() - t0)
+            if found:
+                self.num_success_inter += 1
+                self.dbm.loop_closure_tf[rid] = _np(
+                    se3.from_matrix(jnp.asarray(tf)))
+                found_ids.append(rid)
+        return found_ids
+
+    def add_loop_closure_factor(self, prev_idx: int, robot1: int,
+                                cur_idx: int, robot2: int, rel: np.ndarray):
         P = self.cfg.capacity.max_poses_per_robot
-        base = self.robot_id * P
-        return np.asarray(self.state.poses[base:base + n])
+        self.state = engine.add_between_factor(
+            self.cfg, self.state,
+            jnp.int32(robot1 * P + prev_idx), jnp.int32(robot2 * P + cur_idx),
+            jnp.asarray(rel), jnp.asarray(self._closure_sigma))
+
+    # ------------------------------------------------------------------
+    # Relative inter-robot measurements (sloamNode.cpp:707-760)
+    # ------------------------------------------------------------------
+    def add_relative_measurement(self, meas: scheduler.RelativeMeas):
+        self.feasible_relative_meas.append(meas)
+
+    def process_relative_factors(self) -> int:
+        pose_counter = [int(self.state.pose_count[r])
+                        for r in range(self.cfg.number_of_robots)]
+        matches = scheduler.find_relative_measurement_matches(
+            self.feasible_relative_meas, pose_counter,
+            self.dbm.stamps_by_robot(), self.robot_id)
+        P = self.cfg.capacity.max_poses_per_robot
+        base = _np(self.cfg.noise.rel_meas)
+        for m in matches:
+            rel = _np(m.meas.relative_pose)
+            dist = max(float(np.linalg.norm(rel[4:7])), self.cfg.noise.noise_floor)
+            sigma = base * dist
+            self.state = engine.add_between_factor(
+                self.cfg, self.state,
+                jnp.int32(self.robot_id * P + m.index_host),
+                jnp.int32(m.meas.robot_index * P + m.index_other),
+                jnp.asarray(rel), jnp.asarray(sigma))
+        if matches:
+            self.state = engine.solve_full(self.cfg, self.state)
+            self._refresh_key_poses()
+        self.num_rel_factors += len(matches)
+        return len(matches)
+
+    # ------------------------------------------------------------------
+    def _refresh_key_poses(self):
+        traj = self.optimized_trajectory()
+        for i in range(len(self.key_poses)):
+            self.key_poses[i] = traj[i]
+
+    def optimized_trajectory(self) -> np.ndarray:
+        return self.trajectory_of(self.robot_id)
 
     def trajectory_of(self, robot_id: int) -> np.ndarray:
         n = int(self.state.pose_count[robot_id])
@@ -182,15 +380,14 @@ class SlamNode:
     # ------------------------------------------------------------------
     def compact_map(self, min_hits: Optional[int] = None) -> np.ndarray:
         """Vector7d rows [label, x, y, z, dim1, dim2, dim3]
-        (databaseManager.cpp:64-96, getFinalMap min-hit gating)."""
+        (databaseManager.cpp:64-96 with getFinalMap hit gating)."""
         if min_hits is None:
             min_hits = self.cfg.min_landmark_hits
         s = self.state
         rows = []
         nc = int(s.cyl_count)
         if nc:
-            hits = np.asarray(s.cyl_hits[:nc])
-            keep = hits >= min_hits
+            keep = np.asarray(s.cyl_hits[:nc]) >= min_hits
             root = np.asarray(s.cyl_root[:nc])[keep]
             lab = np.asarray(s.cyl_label[:nc])[keep]
             rad = np.asarray(s.cyl_radius[:nc])[keep]
@@ -199,8 +396,7 @@ class SlamNode:
                 rad[:, None], np.zeros((len(root), 2), np.float32)], axis=1))
         nk = int(s.cub_count)
         if nk:
-            hits = np.asarray(s.cub_hits[:nk])
-            keep = hits >= min_hits
+            keep = np.asarray(s.cub_hits[:nk]) >= min_hits
             tr = np.asarray(s.cub_pose[:nk, 4:7])[keep]
             lab = np.asarray(s.cub_label[:nk])[keep]
             sc = np.asarray(s.cub_scale[:nk])[keep]
@@ -208,8 +404,7 @@ class SlamNode:
                 lab[:, None].astype(np.float32), tr, sc], axis=1))
         nu = int(s.pt_count)
         if nu:
-            hits = np.asarray(s.pt_hits[:nu])
-            keep = hits >= min_hits
+            keep = np.asarray(s.pt_hits[:nu]) >= min_hits
             tr = np.asarray(s.pt_pos[:nu])[keep]
             lab = np.asarray(s.pt_label[:nu])[keep]
             sc = np.asarray(s.pt_scale[:nu])[keep]
@@ -223,8 +418,34 @@ class SlamNode:
         """TUM-style `stamp x y z qx qy qz qw` (sloamNode.cpp:318-337)."""
         rid = self.robot_id if robot_id is None else robot_id
         traj = self.trajectory_of(rid)
-        stamps = self.key_stamps if rid == self.robot_id else range(len(traj))
+        stamps = (self.key_stamps if rid == self.robot_id
+                  else list(range(len(traj))))
         with open(path, "w") as f:
             for st, p in zip(stamps, traj):
                 qw, qx, qy, qz, x, y, z = p
                 f.write(f"{st} {x} {y} {z} {qx} {qy} {qz} {qw}\n")
+
+    def write_runtime_analysis(self, path: str):
+        """results/runtime_analysis schema (inputNode.cpp:232-317)."""
+        def stats(xs):
+            xs = np.asarray(xs or [0.0])
+            return xs.mean(), xs.max(), xs.sum()
+        da_m, da_x, _ = stats(self.data_association_time)
+        fg_m, fg_x, _ = stats(self.fg_time)
+        il_m, il_x, _ = stats(self.intra_lc_time)
+        el_m, el_x, _ = stats(self.inter_lc_time)
+        comm = self.dbm.comm_stats()
+        with open(path, "w") as f:
+            f.write(f"robot_id: {self.robot_id}\n")
+            f.write(f"num_keyframes: {len(self.key_poses)}\n")
+            f.write(f"avg_data_association_time: {da_m:.6f} max: {da_x:.6f}\n")
+            f.write(f"avg_factor_graph_time: {fg_m:.6f} max: {fg_x:.6f}\n")
+            f.write(f"avg_intra_loop_closure_time: {il_m:.6f} max: {il_x:.6f}\n")
+            f.write(f"intra_loop_closure_attempts: {self.num_attempts_intra} "
+                    f"successes: {self.num_success_intra}\n")
+            f.write(f"avg_inter_loop_closure_time: {el_m:.6f} max: {el_x:.6f}\n")
+            f.write(f"inter_loop_closure_attempts: {self.num_attempts_inter} "
+                    f"successes: {self.num_success_inter}\n")
+            f.write(f"num_relative_factors: {self.num_rel_factors}\n")
+            for k, v in comm.items():
+                f.write(f"{k}: {v:.6f}\n")

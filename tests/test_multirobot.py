@@ -1,0 +1,193 @@
+"""Multi-robot tests: database protocol, TF gossip, map merge.
+
+Parity targets: databaseManager ingest semantics (tail append, idempotent
+rebroadcast), TF gossip transitive closure (databaseManager.cpp:160-187), and
+the decentralized merge path (sloamNode.cpp:912-1008) — the reference has no
+automated tests here; these are new coverage."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slide_slam_tpu.comm.database import (Bundle, DatabaseManager,
+                                          PoseMstPair, packet_from_obs)
+from slide_slam_tpu.config import CapacityConfig, SlamConfig
+from slide_slam_tpu.geometry import se3
+from slide_slam_tpu.io import synthetic
+from slide_slam_tpu.place_recognition.slidematch import SlideMatchDims
+from slide_slam_tpu.runtime.mission import MultiRobotMission
+from slide_slam_tpu.runtime import scheduler
+
+
+def small_cfg(**kw):
+    kw.setdefault("number_of_robots", 2)
+    kw.setdefault("communication_wait_time", 3.0)
+    kw.setdefault("inter_robot_place_recognition_frequency", 0.2)
+    return SlamConfig(
+        capacity=CapacityConfig(
+            max_poses_per_robot=128, max_cylinders=512, max_cuboids=256,
+            max_points=128, max_scan_objects=48, max_cylinder_factors=4096,
+            max_cuboid_factors=2048, max_point_factors=1024,
+            max_between_factors=64,
+        ),
+        **kw,
+    )
+
+
+def dummy_packet(stamp):
+    ident = np.asarray(se3.identity(), np.float32)
+    return packet_from_obs(stamp, ident, ident, {})
+
+
+def tf7(x, y, yaw=0.0):
+    return np.asarray(se3.from_xyz_yaw(x, y, 0.0, yaw), np.float32)
+
+
+class TestDatabaseManager:
+    def test_tail_append_and_idempotence(self):
+        a = DatabaseManager(0, 3)
+        b = DatabaseManager(1, 3)
+        b.records[1].packets = [dummy_packet(1.0), dummy_packet(2.0)]
+        bundles = b.make_bundles(now=100.0)
+        for bu in bundles:
+            a.ingest_bundle(bu)
+        assert len(a.records[1].packets) == 2
+        # rebroadcast of the same data must be a no-op
+        for bu in b.make_bundles(now=200.0):
+            a.ingest_bundle(bu)
+        assert len(a.records[1].packets) == 2
+        # new tail appends only the diff
+        b.records[1].packets.append(dummy_packet(3.0))
+        for bu in b.make_bundles(now=300.0):
+            a.ingest_bundle(bu)
+        assert len(a.records[1].packets) == 3
+
+    def test_direct_tf_reception(self):
+        """B knows tf A->B; when B broadcasts, A learns tf B->A (inverse)."""
+        a = DatabaseManager(0, 3)
+        b = DatabaseManager(1, 3)
+        t_ab = tf7(5.0, 2.0, 0.3)     # A's frame into B's frame
+        b.loop_closure_tf[0] = t_ab
+        b.records[1].packets = [dummy_packet(1.0)]
+        for bu in b.make_bundles(now=1.0):
+            a.ingest_bundle(bu)
+        assert 1 in a.loop_closure_tf
+        expect = np.asarray(se3.inverse(jnp.asarray(t_ab)))
+        np.testing.assert_allclose(a.loop_closure_tf[1], expect, atol=1e-5)
+
+    def test_tf_gossip_transitive(self):
+        """A knows B; B's broadcast carries B->C; A infers C
+        (databaseManager.cpp:167-187)."""
+        a = DatabaseManager(0, 3)
+        t_b2a = tf7(10.0, 0.0)        # B frame -> A frame (A knows this)
+        a.loop_closure_tf[1] = t_b2a
+        t_c2b = tf7(0.0, 5.0)         # C frame -> B frame (B knows this)
+        # bundle from B listing (host=B=1, target=C=2, tf C->B ... the msg
+        # carries TFfromTarget2Host = tf from target(C) to host(B))
+        bu = Bundle(robot_id=1, packets=[dummy_packet(1.0)],
+                    compact_map=np.zeros((0, 7), np.float32),
+                    inter_robot_tfs=[(1, 2, t_c2b)])
+        a.ingest_bundle(bu)
+        assert 2 in a.loop_closure_tf
+        expect = np.asarray(se3.compose(jnp.asarray(t_b2a), jnp.asarray(t_c2b)))
+        np.testing.assert_allclose(a.loop_closure_tf[2], expect, atol=1e-5)
+
+    def test_comm_accounting(self):
+        b = DatabaseManager(1, 2)
+        b.records[1].packets = [dummy_packet(1.0)]
+        b.make_bundles(now=1.0)
+        stats = b.comm_stats()
+        assert stats["total_published_MB"] > 0
+
+
+@pytest.fixture(scope="module")
+def shared_world():
+    rng = np.random.default_rng(11)
+    return synthetic.make_forest_world(rng, n_trees=70, n_poles=10, n_cars=10,
+                                       extent=30.0)
+
+
+def make_two_logs(world, n=40, local_frames=False, offset=(8.0, 6.0)):
+    """Two robots sweeping overlapping regions of the same world."""
+    traj0 = synthetic.lawnmower_trajectory(n, extent=25.0, rows=2, step=2.0)
+    traj1 = traj0.copy()
+    traj1[:, 4] += offset[0]
+    traj1[:, 5] += offset[1]
+    log0 = synthetic.make_log(world, traj0, robot_id=0, seed=1,
+                              odom_drift_sigma=0.005, pos_noise=0.02,
+                              dropout=0.05, dt=0.5, t0=1000.0)
+    # 0.4 ms stamp offset: distinct but within the 1 ms relative-meas window
+    log1 = synthetic.make_log(world, traj1, robot_id=1, seed=2,
+                              odom_drift_sigma=0.005, pos_noise=0.02,
+                              dropout=0.05, dt=0.5, t0=1000.0004)
+    tf_local = {}
+    if local_frames:
+        # express each robot's odometry in its own start frame
+        for log in (log0, log1):
+            start = log.keyframes[0].odom_pose.copy()
+            inv = np.asarray(se3.inverse(jnp.asarray(start)), np.float32)
+            for kf in log.keyframes:
+                kf.odom_pose = np.asarray(
+                    se3.compose(jnp.asarray(inv), jnp.asarray(kf.odom_pose)),
+                    np.float32)
+            tf_local[log.robot_id] = start
+    return log0, log1, tf_local
+
+
+def test_prior_tf_merge(shared_world):
+    """priorTFKnown path (decentralized_sloam.launch:15-18): with shared
+    world frame, robot 0 folds robot 1's whole history into its graph."""
+    cfg = small_cfg()
+    log0, log1, _ = make_two_logs(shared_world)
+    mission = MultiRobotMission(cfg, [log0, log1], prior_tf_known=True)
+    report = mission.run()
+    n0 = mission.by_id[0]
+    # peer chain fully folded
+    assert int(n0.state.pose_count[1]) == len(log1.keyframes)
+    # peer trajectory in host graph close to peer ground truth
+    peer_traj = n0.trajectory_of(1)
+    truth1 = np.stack([kf.true_pose for kf in log1.keyframes])
+    ate = synthetic.ate_rmse(peer_traj, truth1, align=False)
+    assert ate < 0.5, ate
+    # merged map should dedupe shared landmarks: total cylinders well below
+    # the sum of what two independent maps would hold
+    counts = n0.landmark_counts()
+    assert counts["cylinders"] <= 80 + 15
+
+
+def test_inter_loop_closure_discovers_tf(shared_world):
+    """Without prior TF, SlideGraph place recognition on exchanged compact
+    maps must discover the frame alignment (sloamNode.cpp:578-697)."""
+    cfg = small_cfg(use_slidematch=False)
+    log0, log1, tf_local = make_two_logs(shared_world, local_frames=True)
+    mission = MultiRobotMission(cfg, [log0, log1])
+    report = mission.run()
+    n0 = mission.by_id[0]
+    assert 1 in n0.dbm.loop_closure_tf, "inter-robot TF not found"
+    # discovered tf maps robot1's local frame into robot0's frame;
+    # ground truth = start0^-1 * start1 (both logs share the world frame)
+    t0_, t1_ = tf_local[0], tf_local[1]
+    expect = np.asarray(se3.compose(se3.inverse(jnp.asarray(t0_)),
+                                    jnp.asarray(t1_)))
+    got = n0.dbm.loop_closure_tf[1]
+    np.testing.assert_allclose(got[4:6], expect[4:6], atol=1.0)
+    # after discovery the peer history must be folded in
+    assert int(n0.state.pose_count[1]) == len(log1.keyframes)
+
+
+def test_relative_measurement_factors(shared_world):
+    """AprilTag-style relative measurement path (sloam.cpp:321-412 +
+    graph.cpp:247-258)."""
+    cfg = small_cfg()
+    log0, log1, _ = make_two_logs(shared_world)
+    # robot 0 sees robot 1 at the stamp of keyframe 10 of both logs
+    kf0, kf1 = log0.keyframes[10], log1.keyframes[10]
+    rel_pose = np.asarray(
+        se3.between(jnp.asarray(kf0.true_pose), jnp.asarray(kf1.true_pose)),
+        np.float32)
+    meas = scheduler.RelativeMeas(
+        stamp=kf0.stamp, relative_pose=rel_pose, robot_index=1,
+        odom_pose=kf0.odom_pose, only_use_odom=False)
+    mission = MultiRobotMission(cfg, [log0, log1], prior_tf_known=True,
+                                relative_meas=[(0, meas)])
+    mission.run()
+    assert mission.by_id[0].num_rel_factors == 1
