@@ -59,7 +59,7 @@ def _associate(map_objs, scan_w, dist_fn, k, query):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg",),
+    static_argnames=("cfg", "enable_solve"),
     donate_argnames=("state",),
 )
 def keyframe_step(
@@ -75,6 +75,7 @@ def keyframe_step(
     do_solve: jnp.ndarray,          # bool: optimize after this keyframe
     odom_noise: jnp.ndarray,        # [6]
     cube_noise: jnp.ndarray,        # [9]
+    enable_solve: bool = True,      # static: False omits the solver graph
 ):
     s = state
     cap = cfg.capacity
@@ -221,7 +222,8 @@ def keyframe_step(
             pcg_tol=cfg.solver.pcg_tol,
         )
 
-    s = jax.lax.cond(do_solve, run_solve, lambda st: st, s)
+    if enable_solve:
+        s = jax.lax.cond(do_solve, run_solve, lambda st: st, s)
 
     out = StepOutput(
         pose=s.poses[slot],

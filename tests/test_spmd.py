@@ -1,0 +1,81 @@
+"""SPMD multi-robot tests on a virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from slide_slam_tpu.config import CapacityConfig, SlamConfig
+from slide_slam_tpu.geometry import se3
+from slide_slam_tpu.parallel import multirobot as mr
+
+
+def tiny_cfg(n_robots):
+    return SlamConfig(
+        number_of_robots=n_robots,
+        capacity=CapacityConfig(
+            max_poses_per_robot=16, max_cylinders=64, max_cuboids=32,
+            max_points=32, max_scan_objects=8, max_cylinder_factors=128,
+            max_cuboid_factors=64, max_point_factors=64,
+            max_between_factors=8,
+        ),
+        solver=SlamConfig().solver.__class__(
+            max_outer_iterations=2, pcg_max_iterations=16),
+    )
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    devs = np.array(jax.devices()[:8])
+    return Mesh(devs, ("robot",))
+
+
+def test_spmd_step_runs_and_counts(mesh8):
+    n = 8
+    cfg = tiny_cfg(n)
+    state = mr.make_spmd_state(cfg, mesh8)
+    step = mr.build_spmd_step(cfg, mesh8)
+    packets = mr.make_example_packets(cfg)
+    state = step(state, packets)
+    # each robot processed its own keyframe: pose_count[r][r] == 1
+    counts = np.asarray(state.graph.pose_count)    # [R, R]
+    for r in range(n):
+        assert counts[r, r] == 1
+    # no TFs known (identity diag only) -> no peer chains folded
+    off_diag = counts - np.diag(np.diag(counts))
+    assert off_diag.sum() == 0
+
+
+def test_spmd_streaming_merge_with_tf(mesh8):
+    n = 8
+    cfg = tiny_cfg(n)
+    state = mr.make_spmd_state(cfg, mesh8)
+    # robot 0 knows robot 1's frame
+    state = mr.set_tf(state, 0, 1,
+                      np.asarray(se3.from_xyz_yaw(1.0, 0.0, 0.0, 0.0)))
+    step = mr.build_spmd_step(cfg, mesh8)
+    packets = mr.make_example_packets(cfg)
+    state = step(state, packets)
+    state = step(state, packets)
+    counts = np.asarray(state.graph.pose_count)
+    assert counts[0, 0] == 2       # own chain
+    assert counts[0, 1] == 2       # streamed peer chain
+    assert counts[1, 0] == 0       # robot 1 doesn't know robot 0 yet
+
+
+def test_spmd_tf_gossip(mesh8):
+    """0 knows 1, 1 knows 2 -> after one step 0 learns 2 transitively."""
+    n = 8
+    cfg = tiny_cfg(n)
+    state = mr.make_spmd_state(cfg, mesh8)
+    t12 = np.asarray(se3.from_xyz_yaw(1.0, 2.0, 0.0, 0.0))
+    t21 = np.asarray(se3.from_xyz_yaw(0.0, 5.0, 0.0, 0.0))
+    state = mr.set_tf(state, 0, 1, t12)
+    state = mr.set_tf(state, 1, 2, t21)
+    step = mr.build_spmd_step(cfg, mesh8)
+    state = step(state, mr.make_example_packets(cfg))
+    valid = np.asarray(state.tf_valid)
+    assert valid[0, 2], "transitive TF not gossiped"
+    expect = np.asarray(se3.compose(jnp.asarray(t12), jnp.asarray(t21)))
+    np.testing.assert_allclose(np.asarray(state.tf_vals[0, 2]), expect,
+                               atol=1e-5)
