@@ -1,0 +1,120 @@
+"""Batched cylinder (tree/pole) fitting.
+
+Re-derivation of CylinderPlaneModeller.fit_cylinder
+(frontend/object_modeller/script/cylinder_plane_modeller.py:370-480) as
+batched jax over padded instance tensors:
+
+* local ground-patch plane per instance: masked least-squares fit + one
+  robust re-fit dropping outliers (the reference uses open3d RANSAC with the
+  same inlier threshold; on near-planar ground patches robust-refit is
+  equivalent and batchable),
+* axis from the principal 3D direction of the instance points, oriented
+  along the ground normal,
+* radius from the max pairwise diameter of points in the breast-height band
+  (1.37 m +- 0.3 above ground, :437-460), clamped to the radius cutoff with
+  default fallback,
+* root = intersection of the axis through the band centroid with the ground
+  plane (:470-476).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class CylinderFit(NamedTuple):
+    root: jnp.ndarray     # [I, 3]
+    ray: jnp.ndarray      # [I, 3] unit, upward
+    radius: jnp.ndarray   # [I]
+    valid: jnp.ndarray    # [I]
+
+
+def fit_plane_lsq(points: jnp.ndarray, mask: jnp.ndarray,
+                  robust_thresh: float = 0.1):
+    """Masked plane fit per batch row: points [I, G, 3], mask [I, G] ->
+    (normal [I,3] unit, d [I]) with plane n.x + d = 0. One robust re-fit."""
+
+    def fit(pts, m):
+        cnt = jnp.maximum(jnp.sum(m), 1)
+        mu = jnp.sum(jnp.where(m[:, None], pts, 0.0), axis=0) / cnt
+        d = jnp.where(m[:, None], pts - mu, 0.0)
+        cov = d.T @ d / cnt
+        # smallest eigenvector of 3x3 covariance
+        w, v = jnp.linalg.eigh(cov)
+        n = v[:, 0]
+        n = jnp.where(n[2] < 0, -n, n)    # upward normal
+        return n, -jnp.dot(n, mu)
+
+    def one(pts, m):
+        n, dd = fit(pts, m)
+        dist = jnp.abs(pts @ n + dd)
+        m2 = m & (dist < robust_thresh)
+        m2 = jnp.where(jnp.sum(m2) >= 3, m2, m)
+        return fit(pts, m2)
+
+    return jax.vmap(one)(points, mask)
+
+
+@functools.partial(jax.jit, static_argnames=("min_points", "min_band_points"))
+def fit_cylinders(points: jnp.ndarray, mask: jnp.ndarray,
+                  ground_normal: jnp.ndarray, ground_d: jnp.ndarray,
+                  *, breast_height: float = 1.37, band_half: float = 0.3,
+                  radius_cutoff=(0.05, 1.0), default_radius: float = 0.2,
+                  min_points: int = 10, min_band_points: int = 3) -> CylinderFit:
+    """points [I, P, 3] instance clouds (world), mask [I, P], per-instance
+    ground plane (normal [I,3], d [I])."""
+    cnt = jnp.sum(mask, axis=-1)
+
+    # principal axis (3D PCA) per instance
+    def principal_axis(pts, m):
+        c = jnp.maximum(jnp.sum(m), 1)
+        mu = jnp.sum(jnp.where(m[:, None], pts, 0.0), axis=0) / c
+        d = jnp.where(m[:, None], pts - mu, 0.0)
+        cov = d.T @ d / c
+        w, v = jnp.linalg.eigh(cov)
+        return v[:, -1]
+
+    axis = jax.vmap(principal_axis)(points, mask)              # [I,3]
+    # orient along ground normal (upward)
+    updot = jnp.einsum("id,id->i", axis, ground_normal)
+    axis = axis * jnp.where(updot < 0, -1.0, 1.0)[:, None]
+    axis = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-9)
+
+    # height above ground per point
+    h = jnp.einsum("ipd,id->ip", points, ground_normal) + ground_d[:, None]
+    band = mask & (jnp.abs(h - breast_height) < band_half)
+    band_cnt = jnp.sum(band, axis=-1)
+
+    # diameter = max pairwise distance inside the band (:449-460)
+    def band_diameter(pts, bm):
+        d2 = jnp.sum((pts[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
+        d2 = jnp.where(bm[:, None] & bm[None, :], d2, 0.0)
+        return jnp.sqrt(jnp.max(d2))
+
+    diameter = jax.vmap(band_diameter)(points, band)
+    lo, hi = 2 * radius_cutoff[0], 2 * radius_cutoff[1]
+    radius = jnp.where((diameter < lo) | (diameter > hi),
+                       default_radius, 0.5 * diameter)
+
+    # representative point = mean of band points; root = axis ^ ground plane
+    bc = jnp.maximum(band_cnt, 1)[:, None]
+    rep = jnp.sum(jnp.where(band[..., None], points, 0.0), axis=1) / bc
+    denom = jnp.einsum("id,id->i", ground_normal, axis)
+    t = -(jnp.einsum("id,id->i", ground_normal, rep) + ground_d) \
+        / jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
+    root = rep + t[:, None] * axis
+
+    ok = (cnt >= min_points) & (band_cnt >= min_band_points)
+    return CylinderFit(root=root, ray=axis, radius=radius, valid=ok)
+
+
+def select_ground_patches(ground_points: jnp.ndarray, ground_valid: jnp.ndarray,
+                          centroids: jnp.ndarray, patch_size: float):
+    """[I, G] masks of ground points within patch_size/2 (XY) of each
+    instance centroid (fit_cylinder:374-380)."""
+    dxy = jnp.linalg.norm(
+        ground_points[None, :, :2] - centroids[:, None, :2], axis=-1)
+    return ground_valid[None, :] & (dxy < patch_size / 2)
