@@ -124,15 +124,24 @@ class SlamNode:
               drop: bool, solve: bool) -> np.ndarray:
         cyl, cub, ell = self._pad_obs(packet)
         t0 = time.perf_counter()
+        # DA + insert (solver split out so both call sites share ONE
+        # compiled solver graph)
         self.state, out = engine.keyframe_step(
             self.cfg, self.state,
             jnp.int32(robot_id), jnp.asarray(pose_est), jnp.asarray(rel),
             cyl, cub, ell,
-            jnp.asarray(drop), jnp.asarray(solve),
+            jnp.asarray(drop), jnp.asarray(False),
             self._noise_odom, self._noise_cube,
+            enable_solve=False,
         )
-        pose = _np(out.pose)
-        self.fg_time.append(time.perf_counter() - t0)
+        self.data_association_time.append(time.perf_counter() - t0)
+        t1 = time.perf_counter()
+        if solve:
+            self.state = engine.solve_full(self.cfg, self.state)
+            pose = _np(self.state.poses[int(out.slot)])
+        else:
+            pose = _np(out.pose)
+        self.fg_time.append(time.perf_counter() - t1)
         return pose
 
     # ------------------------------------------------------------------
