@@ -18,7 +18,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from ..geometry import se3
+from ..geometry import se3np as se3
 
 
 @dataclass
@@ -85,8 +85,7 @@ class Bundle:
 
 
 def _se3_np(op, *args):
-    import jax.numpy as jnp
-    return np.asarray(op(*[jnp.asarray(a) for a in args]), np.float32)
+    return np.asarray(op(*args), np.float32)
 
 
 class DatabaseManager:

@@ -13,7 +13,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from ..geometry import se3
+from ..geometry import se3np as se3
 
 # semantic labels follow scan2shape class ids
 # (process_cloud_node_outdoor_class_info.yaml:15-34): tree=8, lightpole=9,
@@ -134,9 +134,7 @@ def render_observations(world: World, pose: np.ndarray,
                         rng: np.random.Generator, max_range=25.0,
                         pos_noise=0.05, dropout=0.1):
     """Objects within max_range, expressed in the body frame + noise."""
-    import jax.numpy as jnp
-
-    inv = se3.inverse(jnp.asarray(pose))
+    inv = se3.inverse(np.asarray(pose))
     out = {}
 
     def visible(world_xyz):
@@ -145,8 +143,8 @@ def render_observations(world: World, pose: np.ndarray,
         return np.nonzero(vis)[0]
 
     ci = visible(world.cyl_root)
-    root_b = np.asarray(se3.apply(inv, jnp.asarray(world.cyl_root[ci])))
-    ray_b = np.asarray(se3.rotate(inv, jnp.asarray(world.cyl_ray[ci])))
+    root_b = se3.apply(inv, world.cyl_root[ci])
+    ray_b = se3.rotate(inv, world.cyl_ray[ci])
     out["cyl_root"] = (root_b + rng.normal(0, pos_noise, root_b.shape)).astype(np.float32)
     out["cyl_ray"] = ray_b.astype(np.float32)
     out["cyl_radius"] = (world.cyl_radius[ci]
@@ -154,7 +152,7 @@ def render_observations(world: World, pose: np.ndarray,
     out["cyl_label"] = world.cyl_label[ci]
 
     ki = visible(world.cub_pose[:, 4:7])
-    pose_b = np.array(se3.compose(inv, jnp.asarray(world.cub_pose[ki])))
+    pose_b = se3.compose(inv[None], world.cub_pose[ki])
     pose_b[:, 4:7] += rng.normal(0, pos_noise, (len(ki), 3))
     out["cub_pose"] = pose_b.astype(np.float32)
     out["cub_scale"] = (world.cub_scale[ki]
@@ -164,7 +162,7 @@ def render_observations(world: World, pose: np.ndarray,
     ei = visible(world.ell_pos)
     identq = np.tile(np.array([1.0, 0, 0, 0], np.float32), (len(ei), 1))
     ell_world = np.concatenate([identq, world.ell_pos[ei]], axis=1)
-    ell_b = np.array(se3.compose(inv, jnp.asarray(ell_world)))
+    ell_b = se3.compose(inv[None], ell_world)
     ell_b[:, 4:7] += rng.normal(0, pos_noise, (len(ei), 3))
     out["ell_pose"] = ell_b.astype(np.float32)
     out["ell_scale"] = world.ell_scale[ei].astype(np.float32)
@@ -180,21 +178,19 @@ def make_log(world: World, traj: np.ndarray, robot_id=0, seed=0,
 
     Odometry pose = integral of true relative motions perturbed by noise and
     an optional systematic yaw-rate bias (the classic drift mode)."""
-    import jax.numpy as jnp
-
     rng = np.random.default_rng(seed + 17 * robot_id)
     log = RobotLog(robot_id=robot_id)
     odom = traj[0].copy()
     for i, pose in enumerate(traj):
         if i > 0:
-            rel = np.asarray(se3.between(jnp.asarray(traj[i - 1]), jnp.asarray(pose)))
+            rel = se3.between(traj[i - 1], pose)
             noise = np.zeros(6, np.float32)
             if odom_drift_sigma > 0:
                 noise[:3] += rng.normal(0, odom_drift_sigma * 0.3, 3)
                 noise[3:] += rng.normal(0, odom_drift_sigma, 3)
             noise[2] += yaw_drift_bias
-            rel_noisy = np.asarray(se3.retract(jnp.asarray(rel), jnp.asarray(noise)))
-            odom = np.asarray(se3.compose(jnp.asarray(odom), jnp.asarray(rel_noisy)))
+            rel_noisy = se3.retract(rel, noise)
+            odom = se3.compose(odom, rel_noisy)
         obs = render_observations(world, pose, rng, max_range, pos_noise, dropout)
         log.keyframes.append(Keyframe(
             stamp=t0 + i * dt, odom_pose=odom.astype(np.float32),

@@ -108,20 +108,28 @@ class Ellipsoids(NamedTuple):
 
 
 def pad_cylinders(root, ray, radius, label, n: int, dtype=jnp.float32) -> Cylinders:
-    """Build a padded Cylinders batch from variable-length host data."""
+    """Build a padded Cylinders batch from variable-length host data.
+
+    Pure numpy construction + one transfer: variable k must never reach the
+    device as a shape (each distinct shape would be a fresh compilation on
+    the TPU tunnel backend)."""
     import numpy as np
 
     k = min(len(radius), n)
-    out = Cylinders.empty(n, dtype)
-    if k == 0:
-        return out
-    return Cylinders(
-        root=out.root.at[:k].set(np.asarray(root[:k], np.float32)),
-        ray=out.ray.at[:k].set(np.asarray(ray[:k], np.float32)),
-        radius=out.radius.at[:k].set(np.asarray(radius[:k], np.float32)),
-        label=out.label.at[:k].set(np.asarray(label[:k], np.int32)),
-        valid=out.valid.at[:k].set(True),
-    )
+    np_root = np.zeros((n, 3), np.float32)
+    np_ray = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (n, 1))
+    np_rad = np.zeros((n,), np.float32)
+    np_lab = np.zeros((n,), np.int32)
+    np_val = np.zeros((n,), bool)
+    if k:
+        np_root[:k] = np.asarray(root[:k], np.float32)
+        np_ray[:k] = np.asarray(ray[:k], np.float32)
+        np_rad[:k] = np.asarray(radius[:k], np.float32)
+        np_lab[:k] = np.asarray(label[:k], np.int32)
+        np_val[:k] = True
+    return Cylinders(root=jnp.asarray(np_root), ray=jnp.asarray(np_ray),
+                     radius=jnp.asarray(np_rad), label=jnp.asarray(np_lab),
+                     valid=jnp.asarray(np_val))
 
 
 def pad_boxlike(cls, pose, scale, label, n: int, dtype=jnp.float32):
@@ -129,12 +137,15 @@ def pad_boxlike(cls, pose, scale, label, n: int, dtype=jnp.float32):
     import numpy as np
 
     k = min(len(label), n)
-    out = cls.empty(n, dtype)
-    if k == 0:
-        return out
-    return cls(
-        pose=out.pose.at[:k].set(np.asarray(pose[:k], np.float32)),
-        scale=out.scale.at[:k].set(np.asarray(scale[:k], np.float32)),
-        label=out.label.at[:k].set(np.asarray(label[:k], np.int32)),
-        valid=out.valid.at[:k].set(True),
-    )
+    np_pose = np.zeros((n, 7), np.float32)
+    np_pose[:, 0] = 1.0
+    np_scale = np.zeros((n, 3), np.float32)
+    np_lab = np.zeros((n,), np.int32)
+    np_val = np.zeros((n,), bool)
+    if k:
+        np_pose[:k] = np.asarray(pose[:k], np.float32)
+        np_scale[:k] = np.asarray(scale[:k], np.float32)
+        np_lab[:k] = np.asarray(label[:k], np.int32)
+        np_val[:k] = True
+    return cls(pose=jnp.asarray(np_pose), scale=jnp.asarray(np_scale),
+               label=jnp.asarray(np_lab), valid=jnp.asarray(np_val))

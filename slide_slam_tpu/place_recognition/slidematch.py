@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import PlaceRecognitionConfig
+from ..geometry import se3np
 from ..geometry import se3
 
 N_LABEL_BINS = 16
@@ -345,7 +346,7 @@ class PlaceRecognition:
         if len(measurements) < 4 or len(submap) == 0:
             return False, None
         # project measurements into map frame by the (drifted) query pose
-        qmat = np.asarray(se3.matrix(jnp.asarray(query_pose)), np.float64)
+        qmat = se3np.matrix(np.asarray(query_pose, np.float32))
         meas_map = measurements.copy()
         pos_h = np.concatenate(
             [measurements[:, 1:4], np.ones((len(measurements), 1), np.float32)],
@@ -359,8 +360,8 @@ class PlaceRecognition:
         x, y, _, yaw = xyzyaw
         # drift correction compose (place_recognition.cpp:455-495): z forced 0
         lc_tf = _tf_from_xyyaw(x, y, yaw, z=0.0)
-        q = np.asarray(se3.matrix(jnp.asarray(query_pose)), np.float64)
-        c = np.asarray(se3.matrix(jnp.asarray(candidate_pose)), np.float64)
+        q = se3np.matrix(np.asarray(query_pose, np.float32))
+        c = se3np.matrix(np.asarray(candidate_pose, np.float32))
         tf_qd2c = np.linalg.inv(c) @ q
         tf_q2c = tf_qd2c @ lc_tf
         return True, tf_q2c

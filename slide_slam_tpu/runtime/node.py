@@ -17,6 +17,7 @@ import numpy as np
 from ..comm.database import DatabaseManager, PoseMstPair, packet_from_obs
 from ..config import SlamConfig
 from ..factorgraph.graph import GraphState, empty_state
+from ..geometry import se3np
 from ..geometry import se3
 from ..objects import Cuboids, Cylinders, Ellipsoids, pad_boxlike, pad_cylinders
 from ..place_recognition.slidegraph import SlideGraph
@@ -26,6 +27,14 @@ from . import engine, scheduler
 
 def _np(x):
     return np.asarray(x, np.float32)
+
+
+import jax
+
+
+@jax.jit
+def _gather_pose(poses, slot):
+    return poses[slot]
 
 
 class SlamNode:
@@ -79,7 +88,7 @@ class SlamNode:
     def prev_key_pose(self) -> np.ndarray:
         if self.key_poses:
             return self.key_poses[-1]
-        return _np(se3.identity())
+        return se3np.identity()
 
     # ------------------------------------------------------------------
     # Main keyframe path
@@ -92,15 +101,13 @@ class SlamNode:
         Returns the optimized key pose."""
         odom_pose = _np(odom_pose)
         if self.latest_odom is None:
-            rel = _np(se3.identity())
+            rel = se3np.identity()
         else:
-            rel = _np(se3.between(jnp.asarray(self.latest_odom),
-                                  jnp.asarray(odom_pose)))
+            rel = se3np.between(self.latest_odom, odom_pose)
         if not self.key_poses:
             pose_est = odom_pose
         else:
-            pose_est = _np(se3.compose(jnp.asarray(self.prev_key_pose()),
-                                       jnp.asarray(rel)))
+            pose_est = se3np.compose(self.prev_key_pose(), rel)
 
         # loop-closure-region check (inputNode.cpp:105-119)
         if not self.cfg.turn_off_intra_loop_closure:
@@ -138,7 +145,7 @@ class SlamNode:
         t1 = time.perf_counter()
         if solve:
             self.state = engine.solve_full(self.cfg, self.state)
-            pose = _np(self.state.poses[int(out.slot)])
+            pose = _np(_gather_pose(self.state.poses, out.slot))
         else:
             pose = _np(out.pose)
         self.fg_time.append(time.perf_counter() - t1)
@@ -159,8 +166,7 @@ class SlamNode:
                 continue
             for i in range(rec.bookmark_fg, n):
                 p = rec.packets[i]
-                pose_in_ref = _np(se3.compose(jnp.asarray(tf),
-                                              jnp.asarray(p.key_pose)))
+                pose_in_ref = se3np.compose(tf, p.key_pose)
                 self._step(rid, pose_in_ref, p.rel_odom, p, drop=False,
                            solve=False)
             self.state = engine.solve_full(self.cfg, self.state)
@@ -176,7 +182,7 @@ class SlamNode:
         if n < cfg.lc_min_poses_old_region:
             return False
         base = self.robot_id * cfg.capacity.max_poses_per_robot
-        xyz = np.asarray(self.state.keypose_xyz[base:base + n])
+        xyz = np.asarray(self.state.keypose_xyz)[base:base + n]
         q = _np(pose)[4:7]
         dxy = np.linalg.norm(xyz[:, :2] - q[:2], axis=1)
         dz = np.abs(xyz[:, 2] - q[2])
@@ -192,7 +198,7 @@ class SlamNode:
         if n < 50:
             return None
         base = self.robot_id * cfg.capacity.max_poses_per_robot
-        xyz = np.asarray(self.state.keypose_xyz[base:base + n])
+        xyz = np.asarray(self.state.keypose_xyz)[base:base + n]
         d = np.linalg.norm(xyz - xyz[pose_idx], axis=1)
         eligible = ((d <= cfg.lc_candidate_max_dist)
                     & (pose_idx - np.arange(n) > cfg.lc_candidate_min_poses_old))
@@ -210,10 +216,10 @@ class SlamNode:
         rows = []
         nc = int(s.cyl_count)
         if nc:
-            root = np.asarray(s.cyl_root[:nc])
+            root = np.asarray(s.cyl_root)[:nc]
             # Cylinder::distance(point): axis distance minus radius
-            rad = np.asarray(s.cyl_radius[:nc])
-            lab = np.asarray(s.cyl_label[:nc])
+            rad = np.asarray(s.cyl_radius)[:nc]
+            lab = np.asarray(s.cyl_label)[:nc]
             d = np.linalg.norm(root - q, axis=1)
             keep = (d <= radius) & (np.abs(root[:, 2] - q[2]) < 1.5)
             rows.append(np.concatenate([
@@ -221,18 +227,18 @@ class SlamNode:
                 rad[keep, None], np.zeros((keep.sum(), 2), np.float32)], axis=1))
         nk = int(s.cub_count)
         if nk:
-            tr = np.asarray(s.cub_pose[:nk, 4:7])
-            lab = np.asarray(s.cub_label[:nk])
-            sc = np.asarray(s.cub_scale[:nk])
+            tr = np.asarray(s.cub_pose)[:nk, 4:7]
+            lab = np.asarray(s.cub_label)[:nk]
+            sc = np.asarray(s.cub_scale)[:nk]
             d = np.linalg.norm(tr - q, axis=1)
             keep = (d <= radius) & (np.abs(tr[:, 2] - q[2]) < 1.5)
             rows.append(np.concatenate([
                 lab[keep, None].astype(np.float32), tr[keep], sc[keep]], axis=1))
         nu = int(s.pt_count)
         if nu:
-            tr = np.asarray(s.pt_pos[:nu])
-            lab = np.asarray(s.pt_label[:nu])
-            sc = np.asarray(s.pt_scale[:nu])
+            tr = np.asarray(s.pt_pos)[:nu]
+            lab = np.asarray(s.pt_label)[:nu]
+            sc = np.asarray(s.pt_scale)[:nu]
             d = np.linalg.norm(tr - q, axis=1)
             keep = (d <= radius) & (np.abs(tr[:, 2] - q[2]) < 1.5)
             rows.append(np.concatenate([
@@ -278,7 +284,7 @@ class SlamNode:
         packet = self.dbm.host_record().packets[latest]
         meas = self.packet_measurement_rows(packet)
         base = self.robot_id * cfg.capacity.max_poses_per_robot
-        cand_pose = np.asarray(self.state.poses[base + cand])
+        cand_pose = np.asarray(self.state.poses)[base + cand]
         query_pose = packet.key_pose
         submap = self._keypose_submap_rows(cand_pose, cfg.lc_submap_radius)
         t0 = time.perf_counter()
@@ -288,7 +294,7 @@ class SlamNode:
         if not found:
             return False
         self.num_success_intra += 1
-        rel = _np(se3.from_matrix(jnp.asarray(tf_q2c)))
+        rel = se3np.from_matrix(tf_q2c)
         self.add_loop_closure_factor(cand, self.robot_id, latest,
                                      self.robot_id, rel)
         self.state = engine.solve_full(self.cfg, self.state)
@@ -322,8 +328,7 @@ class SlamNode:
             self.inter_lc_time.append(time.perf_counter() - t0)
             if found:
                 self.num_success_inter += 1
-                self.dbm.loop_closure_tf[rid] = _np(
-                    se3.from_matrix(jnp.asarray(tf)))
+                self.dbm.loop_closure_tf[rid] = se3np.from_matrix(tf)
                 found_ids.append(rid)
         return found_ids
 
@@ -377,7 +382,7 @@ class SlamNode:
         n = int(self.state.pose_count[robot_id])
         P = self.cfg.capacity.max_poses_per_robot
         base = robot_id * P
-        return np.asarray(self.state.poses[base:base + n])
+        return np.asarray(self.state.poses)[base:base + n]
 
     def landmark_counts(self):
         return {
@@ -396,27 +401,27 @@ class SlamNode:
         rows = []
         nc = int(s.cyl_count)
         if nc:
-            keep = np.asarray(s.cyl_hits[:nc]) >= min_hits
-            root = np.asarray(s.cyl_root[:nc])[keep]
-            lab = np.asarray(s.cyl_label[:nc])[keep]
-            rad = np.asarray(s.cyl_radius[:nc])[keep]
+            keep = np.asarray(s.cyl_hits)[:nc] >= min_hits
+            root = np.asarray(s.cyl_root)[:nc][keep]
+            lab = np.asarray(s.cyl_label)[:nc][keep]
+            rad = np.asarray(s.cyl_radius)[:nc][keep]
             rows.append(np.concatenate([
                 lab[:, None].astype(np.float32), root,
                 rad[:, None], np.zeros((len(root), 2), np.float32)], axis=1))
         nk = int(s.cub_count)
         if nk:
-            keep = np.asarray(s.cub_hits[:nk]) >= min_hits
-            tr = np.asarray(s.cub_pose[:nk, 4:7])[keep]
-            lab = np.asarray(s.cub_label[:nk])[keep]
-            sc = np.asarray(s.cub_scale[:nk])[keep]
+            keep = np.asarray(s.cub_hits)[:nk] >= min_hits
+            tr = np.asarray(s.cub_pose)[:nk, 4:7][keep]
+            lab = np.asarray(s.cub_label)[:nk][keep]
+            sc = np.asarray(s.cub_scale)[:nk][keep]
             rows.append(np.concatenate([
                 lab[:, None].astype(np.float32), tr, sc], axis=1))
         nu = int(s.pt_count)
         if nu:
-            keep = np.asarray(s.pt_hits[:nu]) >= min_hits
-            tr = np.asarray(s.pt_pos[:nu])[keep]
-            lab = np.asarray(s.pt_label[:nu])[keep]
-            sc = np.asarray(s.pt_scale[:nu])[keep]
+            keep = np.asarray(s.pt_hits)[:nu] >= min_hits
+            tr = np.asarray(s.pt_pos)[:nu][keep]
+            lab = np.asarray(s.pt_label)[:nu][keep]
+            sc = np.asarray(s.pt_scale)[:nu][keep]
             rows.append(np.concatenate([
                 lab[:, None].astype(np.float32), tr, sc], axis=1))
         if not rows:

@@ -23,7 +23,7 @@ from collections import deque
 
 import numpy as np
 
-from ..geometry import se3
+from ..geometry import se3np as se3
 
 MEAS_NONE, MEAS_ODOM, MEAS_OBSERVATION, MEAS_RELATIVE = 0, 1, 2, 3
 MAX_REL_MEAS_TIME_DIFF = 1e-3   # 1 ms (sloam.cpp:330)
@@ -51,9 +51,8 @@ class RelativeMeas:
 
 
 def _translation_norm(a: np.ndarray, b: np.ndarray) -> float:
-    import jax.numpy as jnp
-    rel = se3.between(jnp.asarray(a), jnp.asarray(b))
-    return float(np.linalg.norm(np.asarray(se3.trans(rel))))
+    rel = se3.between(np.asarray(a), np.asarray(b))
+    return float(np.linalg.norm(se3.trans(rel)))
 
 
 def pick_next_measurement(
