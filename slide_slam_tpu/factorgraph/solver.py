@@ -239,8 +239,15 @@ def _project(s: GraphState, v: Tangent) -> Tangent:
     return v._replace(pose=jnp.where(frozen[:, None], 0.0, v.pose))
 
 
-def gradient(s: GraphState, lin: Linearization) -> Tangent:
-    """g = J^T r (whitened)."""
+def _maybe_psum(x, axis_name):
+    if axis_name is None:
+        return x
+    return jax.lax.psum(x, axis_name)
+
+
+def gradient(s: GraphState, lin: Linearization, axis_name=None) -> Tangent:
+    """g = J^T r (whitened). With `axis_name`, factor arrays are sharded
+    across devices and the result is psum-reduced (distributed BA)."""
     g = tangent_zeros(s)
     gp = g.pose
     gp = gp.at[lin.od_prev].add(jnp.einsum("fij,fi->fj", lin.od_Ji, lin.od_r))
@@ -254,11 +261,11 @@ def gradient(s: GraphState, lin: Linearization) -> Tangent:
     gc = g.cyl.at[s.cf_lm].add(jnp.einsum("fij,fi->fj", lin.cf_Jl, lin.cf_r))
     gk = g.cub.at[s.kf_lm].add(jnp.einsum("fij,fi->fj", lin.kf_Jl, lin.kf_r))
     gu = g.pt.at[s.uf_lm].add(jnp.einsum("fij,fi->fj", lin.uf_Jl, lin.uf_r))
-    return _project(s, Tangent(gp, gc, gk, gu))
+    return _project(s, _maybe_psum(Tangent(gp, gc, gk, gu), axis_name))
 
 
 def hessian_vec(s: GraphState, lin: Linearization, v: Tangent,
-                lam: jnp.ndarray, diag: Tangent) -> Tangent:
+                lam: jnp.ndarray, diag: Tangent, axis_name=None) -> Tangent:
     """(J^T J + lam * diag) v, factor-wise."""
     v = _project(s, v)
     idx = jnp.arange(s.poses.shape[0])
@@ -286,12 +293,14 @@ def hessian_vec(s: GraphState, lin: Linearization, v: Tangent,
     oc = out.cyl.at[s.cf_lm].add(jnp.einsum("fij,fi->fj", lin.cf_Jl, cf_Jv))
     ok = out.cub.at[s.kf_lm].add(jnp.einsum("fij,fi->fj", lin.kf_Jl, kf_Jv))
     ou = out.pt.at[s.uf_lm].add(jnp.einsum("fij,fi->fj", lin.uf_Jl, uf_Jv))
-    hv = Tangent(op, oc, ok, ou)
+    hv = _maybe_psum(Tangent(op, oc, ok, ou), axis_name)
+    # damping uses the ALREADY-psum'd diag, applied identically on every
+    # device so the replicated PCG state stays in lockstep
     hv = jax.tree_util.tree_map(lambda h, vv, d: h + lam * d * vv, hv, v, diag)
     return _project(s, hv)
 
 
-def diagonal(s: GraphState, lin: Linearization) -> Tangent:
+def diagonal(s: GraphState, lin: Linearization, axis_name=None) -> Tangent:
     """diag(J^T J) as a Tangent (used for LM damping + Jacobi precond)."""
     d = tangent_zeros(s)
     idx = jnp.arange(s.poses.shape[0])
@@ -306,10 +315,10 @@ def diagonal(s: GraphState, lin: Linearization) -> Tangent:
     dc = d.cyl.at[s.cf_lm].add(jnp.einsum("fij,fij->fj", lin.cf_Jl, lin.cf_Jl))
     dk = d.cub.at[s.kf_lm].add(jnp.einsum("fij,fij->fj", lin.kf_Jl, lin.kf_Jl))
     du = d.pt.at[s.uf_lm].add(jnp.einsum("fij,fij->fj", lin.uf_Jl, lin.uf_Jl))
-    return Tangent(dp, dc, dk, du)
+    return _maybe_psum(Tangent(dp, dc, dk, du), axis_name)
 
 
-def cost(s: GraphState, cyl_sigma, bearing_sigma) -> jnp.ndarray:
+def cost(s: GraphState, cyl_sigma, bearing_sigma, axis_name=None) -> jnp.ndarray:
     """Residual-only cost — no Jacobians (cheap; used by line search)."""
     RP = s.poses.shape[0]
     prev_slot = jnp.maximum(jnp.arange(RP) - 1, 0)
@@ -334,9 +343,10 @@ def cost(s: GraphState, cyl_sigma, bearing_sigma) -> jnp.ndarray:
                     res.bearing_range_residual(p, pt, b, rg) / bearing_sigma)(
         s.poses[s.uf_pose], s.pt_pos[s.uf_lm], s.uf_bearing, s.uf_range)
     uf_r = jnp.where(s.uf_valid()[:, None], uf_r, 0.0)
-    return 0.5 * (jnp.sum(od_r ** 2) + jnp.sum(bf_r ** 2)
-                  + jnp.sum(cf_r ** 2) + jnp.sum(kf_r ** 2)
-                  + jnp.sum(uf_r ** 2))
+    return _maybe_psum(
+        0.5 * (jnp.sum(od_r ** 2) + jnp.sum(bf_r ** 2)
+               + jnp.sum(cf_r ** 2) + jnp.sum(kf_r ** 2)
+               + jnp.sum(uf_r ** 2)), axis_name)
 
 
 def retract_state(s: GraphState, dx: Tangent) -> GraphState:
@@ -394,7 +404,8 @@ def pcg(hv_fn, b: Tangent, precond: Tangent, max_iters: int, tol: float) -> Tang
 
 def solve(s: GraphState, *, cyl_sigma: float, bearing_sigma: float,
           outer_iters: int, pcg_iters: int, pcg_tol: float = 1e-6,
-          lam: float = 1e-6, rel_tol: float = 1e-6) -> GraphState:
+          lam: float = 1e-6, rel_tol: float = 1e-6,
+          axis_name=None) -> GraphState:
     """Damped Gauss-Newton with backtracking step scaling.
 
     The outer loop is a `while_loop` with a relative-improvement stop, so ONE
@@ -404,20 +415,22 @@ def solve(s: GraphState, *, cyl_sigma: float, bearing_sigma: float,
     def one_iter(carry):
         s, it, _ = carry
         lin = linearize(s, cyl_sigma, bearing_sigma)
-        g = gradient(s, lin)
-        diag = diagonal(s, lin)
+        g = gradient(s, lin, axis_name)
+        diag = diagonal(s, lin, axis_name)
         precond = jax.tree_util.tree_map(
             lambda d: 1.0 / (d * (1.0 + lam) + 1e-8), diag)
-        hv = functools.partial(hessian_vec, s, lin, lam=lam, diag=diag)
+        hv = functools.partial(hessian_vec, s, lin, lam=lam, diag=diag,
+                               axis_name=axis_name)
         dx = pcg(lambda v: hv(v), tree_scale(-1.0, g), precond,
                  pcg_iters, pcg_tol)
-        c0 = 0.5 * (jnp.sum(lin.od_r ** 2) + jnp.sum(lin.bf_r ** 2)
-                    + jnp.sum(lin.cf_r ** 2) + jnp.sum(lin.kf_r ** 2)
-                    + jnp.sum(lin.uf_r ** 2))
+        c0 = _maybe_psum(
+            0.5 * (jnp.sum(lin.od_r ** 2) + jnp.sum(lin.bf_r ** 2)
+                   + jnp.sum(lin.cf_r ** 2) + jnp.sum(lin.kf_r ** 2)
+                   + jnp.sum(lin.uf_r ** 2)), axis_name)
 
         def try_scale(alpha):
             trial = retract_state(s, tree_scale(alpha, dx))
-            return cost(trial, cyl_sigma, bearing_sigma)
+            return cost(trial, cyl_sigma, bearing_sigma, axis_name)
 
         scales = jnp.array([1.0, 0.5, 0.25], dtype=s.poses.dtype)
         costs = jnp.stack([try_scale(a) for a in (1.0, 0.5, 0.25)])

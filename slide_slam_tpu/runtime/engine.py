@@ -130,7 +130,7 @@ def keyframe_step(
         cyl_label=s.cyl_label.at[cyl_dest].set(cyl_w.label, mode="drop"),
         cyl_hits=s.cyl_hits.at[cyl_dest].set(1, mode="drop")
                           .at[jnp.where(cyl_m >= 0, cyl_m, dump)].add(1, mode="drop"),
-        cyl_count=s.cyl_count + jnp.sum(new_cyl),
+        cyl_count=jnp.minimum(s.cyl_count + jnp.sum(new_cyl), cap.max_cylinders),
     )
     new_cub = scan_cub.valid & (cub_m == -1)
     cub_dest = _append_dests(s.cub_count, new_cub, dump)
@@ -140,7 +140,7 @@ def keyframe_step(
         cub_label=s.cub_label.at[cub_dest].set(cub_w.label, mode="drop"),
         cub_hits=s.cub_hits.at[cub_dest].set(1, mode="drop")
                           .at[jnp.where(cub_m >= 0, cub_m, dump)].add(1, mode="drop"),
-        cub_count=s.cub_count + jnp.sum(new_cub),
+        cub_count=jnp.minimum(s.cub_count + jnp.sum(new_cub), cap.max_cuboids),
     )
     new_pt = scan_ell.valid & (pt_m == -1)
     pt_dest = _append_dests(s.pt_count, new_pt, dump)
@@ -150,7 +150,7 @@ def keyframe_step(
         pt_label=s.pt_label.at[pt_dest].set(ell_w.label, mode="drop"),
         pt_hits=s.pt_hits.at[pt_dest].set(1, mode="drop")
                         .at[jnp.where(pt_m >= 0, pt_m, dump)].add(1, mode="drop"),
-        pt_count=s.pt_count + jnp.sum(new_pt),
+        pt_count=jnp.minimum(s.pt_count + jnp.sum(new_pt), cap.max_points),
     )
 
     # ---- pose insert + odometry factor (graphWrapper.cpp:113-121) --------
@@ -181,7 +181,7 @@ def keyframe_step(
         cf_pose=s.cf_pose.at[cf_dest].set(slot.astype(jnp.int32), mode="drop"),
         cf_lm=s.cf_lm.at[cf_dest].set(cyl_lm_idx, mode="drop"),
         cf_meas=s.cf_meas.at[cf_dest].set(lm7_body, mode="drop"),
-        cf_count=s.cf_count + jnp.sum(scan_cyl.valid),
+        cf_count=jnp.minimum(s.cf_count + jnp.sum(scan_cyl.valid), cap.max_cylinder_factors),
     )
     # cuboid factors: body measurement + range-scaled sigma (graph.cpp:198-231)
     kf_dest = _append_dests(s.kf_count, scan_cub.valid, dump)
@@ -194,7 +194,7 @@ def keyframe_step(
         kf_meas_pose=s.kf_meas_pose.at[kf_dest].set(scan_cub.pose, mode="drop"),
         kf_meas_scale=s.kf_meas_scale.at[kf_dest].set(scan_cub.scale, mode="drop"),
         kf_sigma=s.kf_sigma.at[kf_dest].set(kf_sig, mode="drop"),
-        kf_count=s.kf_count + jnp.sum(scan_cub.valid),
+        kf_count=jnp.minimum(s.kf_count + jnp.sum(scan_cub.valid), cap.max_cuboid_factors),
     )
     # bearing-range factors from body-frame ellipsoid centroids
     # (graphWrapper.cpp:159-202)
@@ -208,7 +208,7 @@ def keyframe_step(
         uf_lm=s.uf_lm.at[uf_dest].set(pt_lm_idx, mode="drop"),
         uf_bearing=s.uf_bearing.at[uf_dest].set(bearing, mode="drop"),
         uf_range=s.uf_range.at[uf_dest].set(rng, mode="drop"),
-        uf_count=s.uf_count + jnp.sum(scan_ell.valid),
+        uf_count=jnp.minimum(s.uf_count + jnp.sum(scan_ell.valid), cap.max_point_factors),
     )
 
     # ---- solve (graph.cpp:260-272 -> batched GN, solver.py) --------------
@@ -264,5 +264,5 @@ def add_between_factor(cfg: SlamConfig, state: GraphState,
         bf_j=s.bf_j.at[k].set(slot_j.astype(jnp.int32)),
         bf_rel=s.bf_rel.at[k].set(rel),
         bf_sigma=s.bf_sigma.at[k].set(sigma),
-        bf_count=k + 1,
+        bf_count=jnp.minimum(k + 1, s.bf_i.shape[0]),
     )
