@@ -76,6 +76,17 @@ def cmd_run(args):
         print(f"robot {rid}: {summary[rid]}")
     with open(os.path.join(args.results, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
+    if args.viz:
+        from . import viz
+        truths = {}
+        for log in robot_logs:
+            truths[log.robot_id] = np.stack(
+                [k.true_pose for k in log.keyframes])
+        png = viz.render_mission(report.nodes, truths,
+                                 os.path.join(args.results, "mission.png"))
+        print(f"wrote {png}")
+        for node in report.nodes:
+            print(viz.runtime_summary(node))
 
 
 def cmd_eval(args):
@@ -116,6 +127,7 @@ def main(argv=None):
     r.add_argument("--use-slidematch", action="store_true")
     r.add_argument("--intra-lc", action="store_true")
     r.add_argument("--comm-wait", type=float, default=5.0)
+    r.add_argument("--viz", action="store_true")
     r.set_defaults(func=cmd_run)
 
     e = sub.add_parser("eval", help="ATE of a trajectory file vs log ground truth")
