@@ -318,6 +318,57 @@ def diagonal(s: GraphState, lin: Linearization, axis_name=None) -> Tangent:
     return _maybe_psum(Tangent(dp, dc, dk, du), axis_name)
 
 
+def block_diagonal(s: GraphState, lin: Linearization, axis_name=None):
+    """Per-variable dense blocks of J^T J (block-Jacobi preconditioner).
+
+    Returns a Tangent-shaped tuple of [N, d, d] blocks. Much stronger than
+    the scalar diagonal for the rotation-translation coupling of pose chains
+    (iSAM2's elimination handles this implicitly; block-Jacobi recovers most
+    of it for PCG)."""
+    RP = s.poses.shape[0]
+    idx = jnp.arange(RP)
+    f = s.poses.dtype
+    bp = jnp.zeros((RP, 6, 6), f)
+    bp = bp.at[lin.od_prev].add(jnp.einsum("fki,fkj->fij", lin.od_Ji, lin.od_Ji))
+    bp = bp.at[idx].add(jnp.einsum("fki,fkj->fij", lin.od_Jj, lin.od_Jj))
+    bp = bp.at[s.bf_i].add(jnp.einsum("fki,fkj->fij", lin.bf_Ji, lin.bf_Ji))
+    bp = bp.at[s.bf_j].add(jnp.einsum("fki,fkj->fij", lin.bf_Jj, lin.bf_Jj))
+    bp = bp.at[s.cf_pose].add(jnp.einsum("fki,fkj->fij", lin.cf_Jp, lin.cf_Jp))
+    bp = bp.at[s.kf_pose].add(jnp.einsum("fki,fkj->fij", lin.kf_Jp, lin.kf_Jp))
+    bp = bp.at[s.uf_pose].add(jnp.einsum("fki,fkj->fij", lin.uf_Jp, lin.uf_Jp))
+    bc = jnp.zeros((s.cyl_ray.shape[0], 7, 7), f)
+    bc = bc.at[s.cf_lm].add(jnp.einsum("fki,fkj->fij", lin.cf_Jl, lin.cf_Jl))
+    bk = jnp.zeros((s.cub_pose.shape[0], 9, 9), f)
+    bk = bk.at[s.kf_lm].add(jnp.einsum("fki,fkj->fij", lin.kf_Jl, lin.kf_Jl))
+    bu = jnp.zeros((s.pt_pos.shape[0], 3, 3), f)
+    bu = bu.at[s.uf_lm].add(jnp.einsum("fki,fkj->fij", lin.uf_Jl, lin.uf_Jl))
+    blocks = (bp, bc, bk, bu)
+    if axis_name is not None:
+        blocks = jax.lax.psum(blocks, axis_name)
+    return blocks
+
+
+def _block_precond_inverses(blocks, lam):
+    """Invert (B + lam*diag(B) + eps I) per block."""
+    def inv(b):
+        d = b.shape[-1]
+        eye = jnp.eye(d, dtype=b.dtype)
+        diag = jnp.einsum("nii->ni", b)
+        damped = b + lam * diag[..., None] * eye + 1e-6 * eye
+        return jnp.linalg.inv(damped)
+    return tuple(inv(b) for b in blocks)
+
+
+def _block_apply(inv_blocks, r: Tangent) -> Tangent:
+    bp, bc, bk, bu = inv_blocks
+    return Tangent(
+        pose=jnp.einsum("nij,nj->ni", bp, r.pose),
+        cyl=jnp.einsum("nij,nj->ni", bc, r.cyl),
+        cub=jnp.einsum("nij,nj->ni", bk, r.cub),
+        pt=jnp.einsum("nij,nj->ni", bu, r.pt),
+    )
+
+
 def cost(s: GraphState, cyl_sigma, bearing_sigma, axis_name=None) -> jnp.ndarray:
     """Residual-only cost — no Jacobians (cheap; used by line search)."""
     RP = s.poses.shape[0]
@@ -373,11 +424,11 @@ def retract_state(s: GraphState, dx: Tangent) -> GraphState:
 # ---------------------------------------------------------------------------
 
 
-def pcg(hv_fn, b: Tangent, precond: Tangent, max_iters: int, tol: float) -> Tangent:
-    """Solve H x = b with Jacobi preconditioner (elementwise inverse diag)."""
+def pcg(hv_fn, b: Tangent, precond_apply, max_iters: int, tol: float) -> Tangent:
+    """Solve H x = b; `precond_apply(r) -> z` applies M^-1."""
     x0 = jax.tree_util.tree_map(jnp.zeros_like, b)
     r0 = b
-    z0 = jax.tree_util.tree_map(lambda r, m: r * m, r0, precond)
+    z0 = precond_apply(r0)
     p0 = z0
     rz0 = tree_dot(r0, z0)
 
@@ -388,7 +439,7 @@ def pcg(hv_fn, b: Tangent, precond: Tangent, max_iters: int, tol: float) -> Tang
         alpha = rz / jnp.maximum(php, 1e-30)
         x = tree_axpy(alpha, p, x)
         r = tree_axpy(-alpha, hp, r)
-        z = jax.tree_util.tree_map(lambda rr, m: rr * m, r, precond)
+        z = precond_apply(r)
         rz_new = tree_dot(r, z)
         beta = rz_new / jnp.maximum(rz, 1e-30)
         p = tree_axpy(beta, p, z)
@@ -417,11 +468,12 @@ def solve(s: GraphState, *, cyl_sigma: float, bearing_sigma: float,
         lin = linearize(s, cyl_sigma, bearing_sigma)
         g = gradient(s, lin, axis_name)
         diag = diagonal(s, lin, axis_name)
-        precond = jax.tree_util.tree_map(
-            lambda d: 1.0 / (d * (1.0 + lam) + 1e-8), diag)
+        blocks = block_diagonal(s, lin, axis_name)
+        inv_blocks = _block_precond_inverses(blocks, lam)
         hv = functools.partial(hessian_vec, s, lin, lam=lam, diag=diag,
                                axis_name=axis_name)
-        dx = pcg(lambda v: hv(v), tree_scale(-1.0, g), precond,
+        dx = pcg(lambda v: hv(v), tree_scale(-1.0, g),
+                 lambda r: _block_apply(inv_blocks, r),
                  pcg_iters, pcg_tol)
         c0 = _maybe_psum(
             0.5 * (jnp.sum(lin.od_r ** 2) + jnp.sum(lin.bf_r ** 2)
