@@ -57,6 +57,47 @@ def _associate(map_objs, scan_w, dist_fn, k, query):
     return idx, d
 
 
+def unpack_scan(packed: jnp.ndarray):
+    """One [S, 33] f32 array -> (Cylinders, Cuboids, Ellipsoids).
+
+    Layout (host packer in node._pack_obs): cyl[root3 ray3 radius label valid]
+    cub[pose7 scale3 label valid] ell[pose7 scale3 label valid]. A single
+    transfer instead of 15 keeps host->device latency off the keyframe
+    critical path (matters on remote-tunnel backends)."""
+    cyl = Cylinders(
+        root=packed[:, 0:3], ray=packed[:, 3:6], radius=packed[:, 6],
+        label=packed[:, 7].astype(jnp.int32), valid=packed[:, 8] > 0.5)
+    cub = Cuboids(
+        pose=packed[:, 9:16], scale=packed[:, 16:19],
+        label=packed[:, 19].astype(jnp.int32), valid=packed[:, 20] > 0.5)
+    ell = Ellipsoids(
+        pose=packed[:, 21:28], scale=packed[:, 28:31],
+        label=packed[:, 31].astype(jnp.int32), valid=packed[:, 32] > 0.5)
+    return cyl, cub, ell
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "enable_solve"),
+    donate_argnames=("state",),
+)
+def keyframe_step_packed(
+    cfg: SlamConfig,
+    state: GraphState,
+    robot_id: jnp.ndarray,
+    pose_and_rel: jnp.ndarray,      # [2, 7] pose_estimate + rel_odom
+    packed_scan: jnp.ndarray,       # [S, 33]
+    flags: jnp.ndarray,             # [2] bool: drop_detections, do_solve
+    odom_noise: jnp.ndarray,
+    cube_noise: jnp.ndarray,
+    enable_solve: bool = True,
+):
+    cyl, cub, ell = unpack_scan(packed_scan)
+    return _keyframe_body(cfg, state, robot_id, pose_and_rel[0],
+                          pose_and_rel[1], cyl, cub, ell, flags[0], flags[1],
+                          odom_noise, cube_noise, enable_solve)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "enable_solve"),
@@ -77,6 +118,14 @@ def keyframe_step(
     cube_noise: jnp.ndarray,        # [9]
     enable_solve: bool = True,      # static: False omits the solver graph
 ):
+    return _keyframe_body(cfg, state, robot_id, pose_estimate, rel_odom,
+                          scan_cyl, scan_cub, scan_ell, drop_detections,
+                          do_solve, odom_noise, cube_noise, enable_solve)
+
+
+def _keyframe_body(cfg, state, robot_id, pose_estimate, rel_odom, scan_cyl,
+                   scan_cub, scan_ell, drop_detections, do_solve, odom_noise,
+                   cube_noise, enable_solve):
     s = state
     cap = cfg.capacity
     P = cap.max_poses_per_robot

@@ -115,6 +115,7 @@ class MultiRobotMission:
         all_bundles = []
         for n in self.nodes:
             if n.dbm.should_communicate(now):
+                n.refresh_robot_map()
                 all_bundles.append((n.robot_id, n.dbm.make_bundles(now)))
         for sender, bundles in all_bundles:
             for n in self.nodes:

@@ -73,17 +73,38 @@ class SlamNode:
         self.num_success_inter = 0
         self.num_rel_factors = 0
         self.last_intra_attempt_pose = -1
+        self._map_dirty = True
         self._noise_odom = jnp.asarray(_np(self.cfg.noise.odom))
         self._noise_cube = jnp.asarray(_np(self.cfg.noise.cube))
         self._closure_sigma = _np(self.cfg.noise.odom) * self.cfg.noise.closure_scale
 
     # ------------------------------------------------------------------
-    def _pad_obs(self, p: PoseMstPair):
+    def _pack_obs(self, p: PoseMstPair) -> np.ndarray:
+        """One [S, 33] f32 scan array (see engine.unpack_scan layout)."""
         S = self.cfg.capacity.max_scan_objects
-        cyl = pad_cylinders(p.cyl_root, p.cyl_ray, p.cyl_radius, p.cyl_label, S)
-        cub = pad_boxlike(Cuboids, p.cub_pose, p.cub_scale, p.cub_label, S)
-        ell = pad_boxlike(Ellipsoids, p.ell_pose, p.ell_scale, p.ell_label, S)
-        return cyl, cub, ell
+        out = np.zeros((S, 33), np.float32)
+        out[:, 12] = 1.0   # cub pose qw identity
+        out[:, 24] = 1.0   # ell pose qw identity
+        k = min(len(p.cyl_radius), S)
+        if k:
+            out[:k, 0:3] = p.cyl_root[:k]
+            out[:k, 3:6] = p.cyl_ray[:k]
+            out[:k, 6] = p.cyl_radius[:k]
+            out[:k, 7] = p.cyl_label[:k]
+            out[:k, 8] = 1.0
+        k = min(len(p.cub_label), S)
+        if k:
+            out[:k, 9:16] = p.cub_pose[:k]
+            out[:k, 16:19] = p.cub_scale[:k]
+            out[:k, 19] = p.cub_label[:k]
+            out[:k, 20] = 1.0
+        k = min(len(p.ell_label), S)
+        if k:
+            out[:k, 21:28] = p.ell_pose[:k]
+            out[:k, 28:31] = p.ell_scale[:k]
+            out[:k, 31] = p.ell_label[:k]
+            out[:k, 32] = 1.0
+        return out
 
     def prev_key_pose(self) -> np.ndarray:
         if self.key_poses:
@@ -124,20 +145,22 @@ class SlamNode:
         self.dbm.host_record().bookmark_fg = len(self.dbm.host_record().packets)
         # multi-robot: fold any pending peer keyframes (sloamNode.cpp:912-1008)
         self.replay_peers()
-        self.dbm.update_robot_map(self.compact_map())
+        self._map_dirty = True   # compact map refreshed lazily (comm/LC time)
         return new_pose
 
     def _step(self, robot_id: int, pose_est, rel, packet: PoseMstPair,
               drop: bool, solve: bool) -> np.ndarray:
-        cyl, cub, ell = self._pad_obs(packet)
+        packed = self._pack_obs(packet)
+        pose_and_rel = np.stack([np.asarray(pose_est, np.float32),
+                                 np.asarray(rel, np.float32)])
         t0 = time.perf_counter()
         # DA + insert (solver split out so both call sites share ONE
-        # compiled solver graph)
-        self.state, out = engine.keyframe_step(
+        # compiled solver graph); single packed transfer per step
+        self.state, out = engine.keyframe_step_packed(
             self.cfg, self.state,
-            jnp.int32(robot_id), jnp.asarray(pose_est), jnp.asarray(rel),
-            cyl, cub, ell,
-            jnp.asarray(drop), jnp.asarray(False),
+            jnp.int32(robot_id), jnp.asarray(pose_and_rel),
+            jnp.asarray(packed),
+            jnp.asarray(np.array([drop, False])),
             self._noise_odom, self._noise_cube,
             enable_solve=False,
         )
@@ -301,10 +324,20 @@ class SlamNode:
         self._refresh_key_poses()
         return True
 
+    def refresh_robot_map(self):
+        """Push the current compact map into the database (done lazily:
+        before comm broadcasts and place-recognition attempts instead of
+        every keyframe — the reference refreshes per keyframe,
+        sloamNode.cpp:1017, but only consumes it at comm/LC cadence)."""
+        if self._map_dirty:
+            self.dbm.update_robot_map(self.compact_map())
+            self._map_dirty = False
+
     def attempt_inter_loop_closure(self) -> List[int]:
         """interLoopClosureThread_ body (sloamNode.cpp:578-697). Returns ids
         of peers whose TF was discovered this attempt."""
         cfg = self.cfg
+        self.refresh_robot_map()
         found_ids = []
         peers = [rid for rid in self.dbm.records
                  if rid != self.robot_id and rid not in self.dbm.loop_closure_tf]
