@@ -85,8 +85,10 @@ class SolverConfig:
     pcg_tol: float = 1e-6
     init_lambda: float = 1e-4
     # Per-keyframe incremental solves warm-start from the previous estimate
-    # and use fewer outer iterations.
+    # and use smaller budgets (relinearize-once, like iSAM2's default path)
     incremental_outer_iterations: int = 2
+    incremental_pcg_iterations: int = 32
+    incremental_pcg_tol: float = 1e-4
 
 
 @dataclass(frozen=True)

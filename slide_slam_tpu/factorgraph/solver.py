@@ -424,8 +424,12 @@ def retract_state(s: GraphState, dx: Tangent) -> GraphState:
 # ---------------------------------------------------------------------------
 
 
-def pcg(hv_fn, b: Tangent, precond_apply, max_iters: int, tol: float) -> Tangent:
-    """Solve H x = b; `precond_apply(r) -> z` applies M^-1."""
+def pcg(hv_fn, b: Tangent, precond_apply, max_iters, tol) -> Tangent:
+    """Solve H x = b; `precond_apply(r) -> z` applies M^-1.
+
+    max_iters/tol may be traced scalars — the same compiled solver then
+    serves different iteration budgets (cheap warm-started incremental
+    solves vs thorough post-closure solves)."""
     x0 = jax.tree_util.tree_map(jnp.zeros_like, b)
     r0 = b
     z0 = precond_apply(r0)
@@ -454,9 +458,9 @@ def pcg(hv_fn, b: Tangent, precond_apply, max_iters: int, tol: float) -> Tangent
 
 
 def solve(s: GraphState, *, cyl_sigma: float, bearing_sigma: float,
-          outer_iters: int, pcg_iters: int, pcg_tol: float = 1e-6,
+          outer_iters, pcg_iters, pcg_tol=1e-6,
           lam: float = 1e-6, rel_tol: float = 1e-6,
-          axis_name=None) -> GraphState:
+          axis_name=None, block_precond: bool = False) -> GraphState:
     """Damped Gauss-Newton with backtracking step scaling.
 
     The outer loop is a `while_loop` with a relative-improvement stop, so ONE
@@ -468,12 +472,20 @@ def solve(s: GraphState, *, cyl_sigma: float, bearing_sigma: float,
         lin = linearize(s, cyl_sigma, bearing_sigma)
         g = gradient(s, lin, axis_name)
         diag = diagonal(s, lin, axis_name)
-        blocks = block_diagonal(s, lin, axis_name)
-        inv_blocks = _block_precond_inverses(blocks, lam)
+        if block_precond:
+            # stronger preconditioner; batched jnp.linalg.inv compiles
+            # slowly on some TPU toolchains, so this is opt-in
+            blocks = block_diagonal(s, lin, axis_name)
+            inv_blocks = _block_precond_inverses(blocks, lam)
+            precond_apply = lambda r: _block_apply(inv_blocks, r)
+        else:
+            scalar = jax.tree_util.tree_map(
+                lambda d: 1.0 / (d * (1.0 + lam) + 1e-8), diag)
+            precond_apply = lambda r: jax.tree_util.tree_map(
+                lambda rr, m: rr * m, r, scalar)
         hv = functools.partial(hessian_vec, s, lin, lam=lam, diag=diag,
                                axis_name=axis_name)
-        dx = pcg(lambda v: hv(v), tree_scale(-1.0, g),
-                 lambda r: _block_apply(inv_blocks, r),
+        dx = pcg(lambda v: hv(v), tree_scale(-1.0, g), precond_apply,
                  pcg_iters, pcg_tol)
         c0 = _maybe_psum(
             0.5 * (jnp.sum(lin.od_r ** 2) + jnp.sum(lin.bf_r ** 2)

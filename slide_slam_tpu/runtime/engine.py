@@ -288,16 +288,33 @@ def _keyframe_body(cfg, state, robot_id, pose_estimate, rel_odom, scan_cyl,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
-def solve_full(cfg: SlamConfig, state: GraphState) -> GraphState:
-    """Full (non-incremental) solve — used after loop closures / merges."""
+def _solve_budget(cfg: SlamConfig, state: GraphState, outer_iters, pcg_iters,
+                  pcg_tol) -> GraphState:
     return solver.solve(
         state,
         cyl_sigma=cfg.noise.cylinder,
         bearing_sigma=cfg.noise.bearing,
-        outer_iters=cfg.solver.max_outer_iterations,
-        pcg_iters=cfg.solver.pcg_max_iterations,
-        pcg_tol=cfg.solver.pcg_tol,
+        outer_iters=outer_iters,
+        pcg_iters=pcg_iters,
+        pcg_tol=pcg_tol,
     )
+
+
+def solve_full(cfg: SlamConfig, state: GraphState) -> GraphState:
+    """Thorough solve — after loop closures / merges."""
+    return _solve_budget(cfg, state,
+                         jnp.int32(cfg.solver.max_outer_iterations),
+                         jnp.int32(cfg.solver.pcg_max_iterations),
+                         jnp.float32(cfg.solver.pcg_tol))
+
+
+def solve_incremental(cfg: SlamConfig, state: GraphState) -> GraphState:
+    """Warm-started per-keyframe solve (iSAM2-equivalent budget). Shares
+    the compiled graph with solve_full — budgets are traced scalars."""
+    return _solve_budget(cfg, state,
+                         jnp.int32(cfg.solver.incremental_outer_iterations),
+                         jnp.int32(cfg.solver.incremental_pcg_iterations),
+                         jnp.float32(cfg.solver.incremental_pcg_tol))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))

@@ -167,7 +167,7 @@ class SlamNode:
         self.data_association_time.append(time.perf_counter() - t0)
         t1 = time.perf_counter()
         if solve:
-            self.state = engine.solve_full(self.cfg, self.state)
+            self.state = engine.solve_incremental(self.cfg, self.state)
             pose = _np(_gather_pose(self.state.poses, out.slot))
         else:
             pose = _np(out.pose)
