@@ -25,7 +25,8 @@ class RangeImage(NamedTuple):
     mask: jnp.ndarray          # [H, W] valid pixels
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width"))
+@functools.partial(jax.jit, static_argnames=("height", "width",
+                                             "fov_up_deg", "fov_down_deg"))
 def project(points: jnp.ndarray, remission: jnp.ndarray,
             valid: jnp.ndarray, *, height: int = 64, width: int = 1024,
             fov_up_deg: float = 15.0, fov_down_deg: float = -15.0) -> RangeImage:
