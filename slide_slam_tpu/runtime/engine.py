@@ -100,6 +100,48 @@ def keyframe_step_packed(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("cfg",),
+    donate_argnames=("state",),
+)
+def keyframe_step_fused(
+    cfg: SlamConfig,
+    state: GraphState,
+    robot_id: jnp.ndarray,
+    odom_and_rel: jnp.ndarray,      # [2, 7] raw odom pose + rel odom motion
+    packed_scan: jnp.ndarray,       # [S, 33]
+    drop_detections: jnp.ndarray,   # bool
+    solver_budget: jnp.ndarray,     # [3] f32: outer_iters, pcg_iters, pcg_tol
+    odom_noise: jnp.ndarray,
+    cube_noise: jnp.ndarray,
+):
+    """Fully fused per-keyframe path: ONE dispatch covering pose-estimate
+    chaining (prevKeyPose o relOdom, inputNode.cpp:159-169), DA + insert,
+    and the warm-started incremental solve. The host never needs to read
+    back between stages."""
+    P = cfg.capacity.max_poses_per_robot
+    count_r = state.pose_count[robot_id]
+    prev_slot = robot_id * P + jnp.maximum(count_r - 1, 0)
+    prev_pose = state.poses[prev_slot]
+    rel = odom_and_rel[1]
+    pose_est = jnp.where(count_r == 0, odom_and_rel[0],
+                         se3.compose(prev_pose, rel))
+    cyl, cub, ell = unpack_scan(packed_scan)
+    s, out = _keyframe_body(cfg, state, robot_id, pose_est, rel, cyl, cub,
+                            ell, drop_detections, jnp.asarray(False),
+                            odom_noise, cube_noise, enable_solve=False)
+    s = solver.solve(
+        s,
+        cyl_sigma=cfg.noise.cylinder,
+        bearing_sigma=cfg.noise.bearing,
+        outer_iters=solver_budget[0].astype(jnp.int32),
+        pcg_iters=solver_budget[1].astype(jnp.int32),
+        pcg_tol=solver_budget[2],
+    )
+    return s, out._replace(pose=s.poses[out.slot])
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("cfg", "enable_solve"),
     donate_argnames=("state",),
 )

@@ -137,8 +137,8 @@ class SlamNode:
         packet = packet_from_obs(stamp, pose_est, rel, obs)
         self.dbm.host_record().packets.append(packet)
 
-        new_pose = self._step(self.robot_id, pose_est, rel, packet,
-                              drop=self.is_in_lc_region, solve=True)
+        new_pose = self._fused_step(odom_pose, rel, packet,
+                                    drop=self.is_in_lc_region)
         self.key_poses.append(new_pose)
         self.key_stamps.append(float(stamp))
         self.latest_odom = odom_pose
@@ -147,6 +147,27 @@ class SlamNode:
         self.replay_peers()
         self._map_dirty = True   # compact map refreshed lazily (comm/LC time)
         return new_pose
+
+    def _fused_step(self, odom_pose, rel, packet: PoseMstPair,
+                    drop: bool) -> np.ndarray:
+        """Main keyframe path: ONE device dispatch (DA + insert + solve)."""
+        packed = self._pack_obs(packet)
+        odom_and_rel = np.stack([np.asarray(odom_pose, np.float32),
+                                 np.asarray(rel, np.float32)])
+        sc = self.cfg.solver
+        budget = np.array([sc.incremental_outer_iterations,
+                           sc.incremental_pcg_iterations,
+                           sc.incremental_pcg_tol], np.float32)
+        t0 = time.perf_counter()
+        self.state, out = engine.keyframe_step_fused(
+            self.cfg, self.state,
+            jnp.int32(self.robot_id), jnp.asarray(odom_and_rel),
+            jnp.asarray(packed), jnp.asarray(drop), jnp.asarray(budget),
+            self._noise_odom, self._noise_cube,
+        )
+        pose = _np(out.pose)
+        self.fg_time.append(time.perf_counter() - t0)
+        return pose
 
     def _step(self, robot_id: int, pose_est, rel, packet: PoseMstPair,
               drop: bool, solve: bool) -> np.ndarray:
