@@ -15,7 +15,8 @@ from typing import Optional
 import numpy as np
 
 _HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_SRC = os.path.join(_HERE, "native", "runtime_core.cpp")
+_SRCS = [os.path.join(_HERE, "native", "runtime_core.cpp"),
+         os.path.join(_HERE, "native", "graph_algos.cpp")]
 _LIB = os.path.join(_HERE, "native", "libslideslam_runtime.so")
 
 _lib: Optional[ctypes.CDLL] = None
@@ -24,19 +25,27 @@ _lib: Optional[ctypes.CDLL] = None
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB],
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", *_SRCS,
+             "-o", _LIB],
             check=True, capture_output=True)
         return True
     except (OSError, subprocess.CalledProcessError):
         return False
 
 
+def _stale() -> bool:
+    if not os.path.exists(_LIB):
+        return True
+    lib_mtime = os.path.getmtime(_LIB)
+    return any(os.path.exists(s) and os.path.getmtime(s) > lib_mtime
+               for s in _SRCS)
+
+
 def load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB) or (os.path.exists(_SRC) and
-                                    os.path.getmtime(_SRC) > os.path.getmtime(_LIB)):
+    if _stale():
         if not _build():
             return None
     lib = ctypes.CDLL(_LIB)
@@ -72,6 +81,12 @@ def load() -> Optional[ctypes.CDLL]:
     lib.ssc_decode_packet.restype = ctypes.c_int64
     lib.ssc_decode_packet.argtypes = [u8p, ctypes.c_int64, f64p, f32p, f32p,
                                       f32p, i32p, f32p, i32p, f32p, i32p]
+    lib.ssg_max_clique.restype = ctypes.c_int32
+    lib.ssg_max_clique.argtypes = [ctypes.c_int32, u8p, ctypes.c_double,
+                                   ctypes.c_int32, i32p]
+    lib.ssg_densest_subgraph.restype = ctypes.c_int32
+    lib.ssg_densest_subgraph.argtypes = [ctypes.c_int32, ctypes.c_int64,
+                                         i32p, i32p, f64p, i32p, f64p]
     _lib = lib
     return lib
 
@@ -223,6 +238,60 @@ def decode_packet(data: bytes):
         ell_pose=ell[:ne, 0:7].copy(), ell_scale=ell[:ne, 7:10].copy(),
         ell_label=el[:ne].copy(),
     )
+
+
+def max_clique(adjacency: np.ndarray, method: str = "exact",
+               time_limit_s: float = 3600.0) -> np.ndarray:
+    """Maximum clique of a 0/1 adjacency matrix via the native solver.
+
+    method: 'exact' (branch & bound, the reference's Method::EXACT),
+    'heu' (greedy), 'kcore' (max-core vertices, Method::KCORE);
+    mirrors clipper_semantic_object maxclique.cpp:46-147."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native runtime not available")
+    a = np.ascontiguousarray((np.asarray(adjacency) != 0), np.uint8)
+    n = a.shape[0]
+    if n == 0:
+        return np.zeros((0,), np.int32)
+    out = np.zeros(n, np.int32)
+    code = {"exact": 0, "heu": 1, "kcore": 2}[method]
+    sz = lib.ssg_max_clique(
+        n, a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        float(time_limit_s), code, _ip(out))
+    return np.sort(out[:abs(sz)].copy())
+
+
+def densest_subgraph(affinity: np.ndarray,
+                     subset: Optional[np.ndarray] = None):
+    """Exact densest subgraph (max_S w(S)/|S|) of a weighted symmetric
+    affinity matrix; optionally restricted to `subset` vertices. Returns
+    (nodes, density). Mirrors clipper dsd.cpp:273-311 (Goldberg + Dinic)."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native runtime not available")
+    A = np.asarray(affinity, np.float64)
+    n = A.shape[0]
+    if n == 0:
+        return np.zeros((0,), np.int32), 0.0
+    if subset is not None:
+        keep = np.zeros(n, bool)
+        keep[np.asarray(subset, np.int64)] = True
+        mask = np.outer(keep, keep)
+        A = np.where(mask, A, 0.0)
+    iu, ju = np.triu_indices(n, k=1)
+    w = np.maximum(A, A.T)[iu, ju]
+    nz = w > 0
+    ei = np.ascontiguousarray(iu[nz], np.int32)
+    ej = np.ascontiguousarray(ju[nz], np.int32)
+    wv = np.ascontiguousarray(w[nz], np.float64)
+    out = np.zeros(n, np.int32)
+    dens = ctypes.c_double()
+    cnt = lib.ssg_densest_subgraph(
+        n, len(wv), _ip(ei), _ip(ej),
+        wv.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        _ip(out), ctypes.byref(dens))
+    return np.sort(out[:cnt].copy()), dens.value
 
 
 def available() -> bool:

@@ -169,9 +169,15 @@ def select_inliers(u: np.ndarray, omega: int) -> np.ndarray:
 
 
 def dense_clique_inliers(d1: np.ndarray, d2: np.ndarray,
-                         params: ClipperParams, seed: int = 0) -> np.ndarray:
+                         params: ClipperParams, seed: int = 0,
+                         rounding: str = "dsd_heu") -> np.ndarray:
     """Full pipeline on matched point pairs: affinity -> ascent -> rounding.
-    Returns indices of the selected (inlier) associations."""
+    Returns indices of the selected (inlier) associations.
+
+    rounding: 'dsd_heu' (top-round(F) entries of u — the reference default,
+    clipper.h:59), 'nonzero' (all u > 0, Rounding::NONZERO), or 'dsd'
+    (exact densest subgraph of the affinity restricted to u's support,
+    Rounding::DSD, clipper.cpp:287-300)."""
     m = len(d1)
     if m == 0:
         return np.zeros((0,), np.int64)
@@ -181,4 +187,9 @@ def dense_clique_inliers(d1: np.ndarray, d2: np.ndarray,
     rng = np.random.default_rng(seed)
     u0 = jnp.asarray(rng.uniform(size=m).astype(np.float32))
     u, F, omega = find_dense_clique(M, u0, params)
+    if rounding == "nonzero":
+        return np.flatnonzero(np.asarray(u) > 0.0)
+    if rounding == "dsd":
+        from .clipper_alternates import dsd_round
+        return dsd_round(np.asarray(M), np.asarray(u))
     return select_inliers(np.asarray(u), int(omega))
