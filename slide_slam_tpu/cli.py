@@ -102,6 +102,22 @@ def cmd_eval(args):
     print(json.dumps({"ate_rmse_m": round(float(ate), 4), "n": n}))
 
 
+def cmd_convert_bag(args):
+    from .io import logs, rosbag
+
+    if args.list:
+        for topic, mtype in sorted(rosbag.bag_topics(args.bag).items()):
+            print(f"{topic}  {mtype}")
+        return
+    log = rosbag.bag_to_robot_log(args.bag, robot_id=args.robot_id,
+                                  meas_topic=args.topic)
+    logs.save_log(args.out, log)
+    rel = rosbag.bag_relative_measurements(args.bag)
+    print(json.dumps({"keyframes": len(log.keyframes),
+                      "relative_measurements": len(rel),
+                      "out": args.out}))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="slide_slam_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -129,6 +145,17 @@ def main(argv=None):
     r.add_argument("--comm-wait", type=float, default=5.0)
     r.add_argument("--viz", action="store_true")
     r.set_defaults(func=cmd_run)
+
+    c = sub.add_parser("convert-bag",
+                       help="convert a ROS1 bag of SemanticMeasSyncOdom "
+                            "messages to an npz measurement log")
+    c.add_argument("--bag", required=True)
+    c.add_argument("--out", default="robot0.npz")
+    c.add_argument("--robot-id", type=int, default=0)
+    c.add_argument("--topic", default=None)
+    c.add_argument("--list", action="store_true",
+                   help="list topics/types in the bag and exit")
+    c.set_defaults(func=cmd_convert_bag)
 
     e = sub.add_parser("eval", help="ATE of a trajectory file vs log ground truth")
     e.add_argument("--traj", required=True)
