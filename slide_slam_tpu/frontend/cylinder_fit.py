@@ -4,10 +4,11 @@ Re-derivation of CylinderPlaneModeller.fit_cylinder
 (frontend/object_modeller/script/cylinder_plane_modeller.py:370-480) as
 batched jax over padded instance tensors:
 
-* local ground-patch plane per instance: masked least-squares fit + one
-  robust re-fit dropping outliers (the reference uses open3d RANSAC with the
-  same inlier threshold; on near-planar ground patches robust-refit is
-  equivalent and batchable),
+* local ground-patch plane per instance: batched-hypothesis RANSAC
+  (`fit_plane_ransac`, matching the reference's open3d/PCL RANSAC but with
+  all hypotheses evaluated in one broadcasted kernel) with a masked
+  least-squares consensus refit; `fit_plane_lsq` remains as the cheap
+  robust-refit variant,
 * axis from the principal 3D direction of the instance points, oriented
   along the ground normal,
 * radius from the max pairwise diameter of points in the breast-height band
@@ -56,6 +57,64 @@ def fit_plane_lsq(points: jnp.ndarray, mask: jnp.ndarray,
         return fit(pts, m2)
 
     return jax.vmap(one)(points, mask)
+
+
+@functools.partial(jax.jit, static_argnames=("n_hypotheses",))
+def fit_plane_ransac(points: jnp.ndarray, mask: jnp.ndarray,
+                     thresh: float = 0.1, n_hypotheses: int = 64,
+                     seed: int = 0):
+    """Batched RANSAC plane fit: points [I, G, 3], mask [I, G] ->
+    (normal [I,3] unit upward, d [I], inlier_count [I]).
+
+    The reference fits ground with RANSAC (open3d `segment_plane`,
+    process_cloud_node_outdoor.py:283-303; PCL SACMODEL_PLANE in
+    cylinder.cpp). Sequential hypothesis loops are the wrong shape for the
+    TPU, so ALL hypotheses are materialized at once: [I, H] candidate
+    planes from random point triples, [I, H, G] inlier tests by broadcast,
+    argmax over H, then one masked least-squares refit on the winning
+    consensus set — exact RANSAC semantics, one fused kernel."""
+    I, G, _ = points.shape
+    key = jax.random.PRNGKey(seed)
+    idx = jax.random.randint(key, (I, n_hypotheses, 3), 0, G)
+    # re-draw collisions deterministically by offsetting (cheap, avoids
+    # degenerate triples when G is small)
+    idx = idx.at[..., 1].set((idx[..., 1] + 1 + idx[..., 0]) % G)
+    idx = idx.at[..., 2].set((idx[..., 2] + 7 + idx[..., 1]) % G)
+
+    tri = jnp.take_along_axis(points[:, None, :, :],
+                              idx[..., None].repeat(3, -1), axis=2)  # [I,H,3,3]
+    tri_ok = jnp.all(jnp.take_along_axis(mask[:, None, :], idx, axis=2),
+                     axis=-1)                                        # [I,H]
+    p0, p1, p2 = tri[:, :, 0], tri[:, :, 1], tri[:, :, 2]
+    n = jnp.cross(p1 - p0, p2 - p0)
+    nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    degenerate = nn[..., 0] < 1e-9
+    n = n / jnp.maximum(nn, 1e-9)
+    n = n * jnp.where(n[..., 2:3] < 0, -1.0, 1.0)   # upward
+    d = -jnp.einsum("ihd,ihd->ih", n, p0)           # [I,H]
+
+    dist = jnp.abs(jnp.einsum("ihd,igd->ihg", n, points) + d[..., None])
+    inl = (dist < thresh) & mask[:, None, :]        # [I,H,G]
+    counts = jnp.where(tri_ok & ~degenerate, jnp.sum(inl, axis=-1), -1)
+    best = jnp.argmax(counts, axis=-1)              # [I]
+
+    best_inl = jnp.take_along_axis(inl, best[:, None, None], axis=1)[:, 0]
+    best_cnt = jnp.take_along_axis(counts, best[:, None], axis=1)[:, 0]
+    # final consensus refit (masked LSQ); fall back to all points if the
+    # consensus set is too small
+    refit_mask = jnp.where((best_cnt >= 3)[:, None], best_inl, mask)
+
+    def lsq(pts, m):
+        cnt = jnp.maximum(jnp.sum(m), 1)
+        mu = jnp.sum(jnp.where(m[:, None], pts, 0.0), axis=0) / cnt
+        dd = jnp.where(m[:, None], pts - mu, 0.0)
+        w, v = jnp.linalg.eigh(dd.T @ dd / cnt)
+        nrm = v[:, 0]
+        nrm = jnp.where(nrm[2] < 0, -nrm, nrm)
+        return nrm, -jnp.dot(nrm, mu)
+
+    nf, df = jax.vmap(lsq)(points, refit_mask)
+    return nf, df, jnp.maximum(best_cnt, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("min_points", "min_band_points"))

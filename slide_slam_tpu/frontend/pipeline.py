@@ -176,8 +176,9 @@ class ProcessCloudPipeline:
         patch_masks = cylinder_fit.select_ground_patches(
             jnp.asarray(gp), jnp.asarray(gm), cens, cfg.ground_patch_size)
         have_patch = np.asarray(jnp.sum(patch_masks, axis=1)) >= 5
-        normals, ds = cylinder_fit.fit_plane_lsq(
-            jnp.broadcast_to(jnp.asarray(gp), (I,) + gp.shape), patch_masks)
+        normals, ds, _ = cylinder_fit.fit_plane_ransac(
+            jnp.broadcast_to(jnp.asarray(gp), (I,) + gp.shape), patch_masks,
+            thresh=0.1)
         # fallback: flat ground through the instance's lowest point
         z0 = np.asarray(jnp.min(jnp.where(masks, pads[..., 2], 1e9), axis=1))
         normals = np.array(normals)

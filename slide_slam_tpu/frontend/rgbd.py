@@ -66,11 +66,18 @@ def to_world(cloud: LabeledCloud, cam_pose7: jnp.ndarray) -> LabeledCloud:
 
 
 def instance_points(cloud: LabeledCloud, instance_id: int, max_points: int):
-    """Padded [max_points, 3] + mask for one instance (host-friendly)."""
+    """Padded [max_points, 3] + mask for one instance (host-friendly).
+    Over-capacity instances are stride-subsampled (not truncated) so the
+    kept points still span the instance — the reference's analogue is the
+    voxel downsample capped at num_instance_point_lim
+    (object_tracker.py:8-78)."""
     import numpy as np
 
     sel = np.asarray(cloud.valid) & (np.asarray(cloud.instance) == instance_id)
-    pts = np.asarray(cloud.xyz)[sel][:max_points]
+    pts = np.asarray(cloud.xyz)[sel]
+    if len(pts) > max_points:
+        idx = np.round(np.linspace(0, len(pts) - 1, max_points)).astype(int)
+        pts = pts[idx]
     out = np.zeros((max_points, 3), np.float32)
     out[:len(pts)] = pts
     mask = np.zeros((max_points,), bool)

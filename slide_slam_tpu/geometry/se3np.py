@@ -132,7 +132,7 @@ def quat_from_matrix(m):
         qw = (m[1, 0] - m[0, 1]) / s
         qx = (m[0, 2] + m[2, 0]) / s
         qy = (m[1, 2] + m[2, 1]) / s
-        qz = (m[0, 1] + m[1, 2]) / s
+        qz = 0.25 * s
     return quat_normalize(np.array([qw, qx, qy, qz]))
 
 

@@ -160,6 +160,31 @@ class TestCylinderFit:
         assert abs(np.dot(n, [0, 0, 0.5]) + d) < 0.05
         assert n[2] > 0.9
 
+    def test_plane_fit_ransac_heavy_outliers(self):
+        """40% structured outliers: LSQ tilts, RANSAC must not
+        (open3d segment_plane parity, process_cloud_node_outdoor.py:283)."""
+        rng = np.random.default_rng(5)
+        n_in, n_out = 120, 80
+        xy = rng.uniform(-5, 5, (n_in, 2))
+        z = 0.05 * xy[:, 1] + 1.0 + rng.normal(0, 0.01, n_in)
+        inliers = np.column_stack([xy, z])
+        # outliers: a slanted wall
+        t = rng.uniform(0, 4, (n_out, 2))
+        wall = np.column_stack([t[:, 0], np.full(n_out, 5.0), t[:, 1]])
+        pts = np.concatenate([inliers, wall]).astype(np.float32)
+        mask = np.ones(len(pts), bool)
+        n, d, cnt = cylinder_fit.fit_plane_ransac(
+            jnp.asarray(pts)[None], jnp.asarray(mask)[None], thresh=0.05)
+        n, d = np.asarray(n[0]), float(d[0])
+        assert int(cnt[0]) >= n_in * 0.9
+        assert n[2] > 0.99                       # stays horizontal-ish
+        assert abs(np.dot(n, [0, 0, 1.0]) + d) < 0.05
+        # degenerate guard: empty mask row doesn't NaN
+        n2, d2, cnt2 = cylinder_fit.fit_plane_ransac(
+            jnp.zeros((1, 8, 3)), jnp.zeros((1, 8), bool))
+        assert np.all(np.isfinite(np.asarray(n2)))
+        assert int(cnt2[0]) == 0
+
 
 # ---------------------------------------------------------------------------
 class TestTracker:

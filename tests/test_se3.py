@@ -91,3 +91,28 @@ def test_quat_from_matrix_edge_cases():
         q2 = se3.quat_from_matrix(m)
         m2 = se3.quat_to_matrix(q2)
         np.testing.assert_allclose(np.asarray(m2), np.asarray(m), atol=1e-5)
+
+
+def test_quat_from_matrix_roundtrip_all_branches():
+    """Every Shepperd branch of the host-side converter (regression: the
+    m22-dominant branch used to return a wrong z component)."""
+    from slide_slam_tpu.geometry import se3np
+
+    # a matrix with trace 0 and m22 as the (tied) max hits the last branch
+    R_cam = np.array([[0.0, 0, 1], [-1, 0, 0], [0, -1, 0]])
+    cases = [R_cam, R_cam.T]
+    rng = np.random.default_rng(11)
+    for _ in range(50):
+        A = rng.normal(size=(3, 3))
+        u, _, vt = np.linalg.svd(A)
+        R = u @ vt
+        if np.linalg.det(R) < 0:
+            R = u @ np.diag([1, 1, -1.0]) @ vt
+        cases.append(R)
+    for R in cases:
+        q = se3np.quat_from_matrix(R)
+        np.testing.assert_allclose(se3np.quat_to_matrix(q), R, atol=1e-9)
+        # agreement with the device-side branch-free converter
+        qj = np.asarray(se3.quat_from_matrix(jnp.asarray(R)))
+        np.testing.assert_allclose(se3.quat_to_matrix(jnp.asarray(qj)), R,
+                                   atol=1e-5)
