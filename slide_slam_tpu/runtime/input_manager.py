@@ -95,7 +95,7 @@ class InputManager:
         """lastKeyPose o relOdom (inputNode.cpp:49-80) + sloam_to_vio TF."""
         if self.latest_odom is not None and self.node.key_poses:
             rel = se3np.between(self.latest_odom.pose, vio_pose)
-            hf = se3np.compose(self.node.key_poses[-1], rel)
+            hf = se3np.compose(self.node.prev_key_pose(), rel)
         else:
             hf = np.asarray(vio_pose, np.float32)
         slam_to_vio = se3np.compose(vio_pose, se3np.inverse(hf))

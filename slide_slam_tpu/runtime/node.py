@@ -57,10 +57,17 @@ class SlamNode:
         self.place_recognition = PlaceRecognition(cfg.place_recognition,
                                                   slidematch_dims)
         self.slidegraph = SlideGraph(cfg.slidegraph)
-        self.key_poses: List[np.ndarray] = []
+        self.key_poses: List[np.ndarray] = []   # np once materialized;
+        #                                         device arrays while in flight
         self.key_stamps: List[float] = []
         self.latest_odom: Optional[np.ndarray] = None
         self.is_in_lc_region = False
+        # async-pipeline bookkeeping: poses come back from the device with a
+        # bounded lag; the host runs on odometry-composed estimates meanwhile
+        self._n_materialized = 0
+        self._xyz_hist: List[np.ndarray] = []   # at-insert optimized xyz
+        self._est_last: Optional[np.ndarray] = None  # host estimate of last key pose
+        self.max_pose_lag = 4
         self.feasible_relative_meas: List[scheduler.RelativeMeas] = []
         # runtime accounting (sloamNode.h:79-91)
         self.data_association_time: List[float] = []
@@ -107,9 +114,56 @@ class SlamNode:
         return out
 
     def prev_key_pose(self) -> np.ndarray:
-        if self.key_poses:
+        """Best host-side value of the latest key pose: the materialized
+        device result when it has arrived, else the odometry-composed
+        estimate (exactly lastKeyPose o relOdom — the reference's
+        high-frequency pose, inputNode.cpp:49-80)."""
+        if not self.key_poses:
+            return se3np.identity()
+        self._sync_poses()
+        if isinstance(self.key_poses[-1], np.ndarray):
             return self.key_poses[-1]
-        return se3np.identity()
+        return self._est_last
+
+    def _sync_poses(self, force: bool = False):
+        """Materialize in-flight device poses. Non-blocking by default (only
+        arrived transfers are consumed); blocks when `force` or when the
+        pipeline lag exceeds max_pose_lag, so host estimates stay fresh."""
+        n = len(self.key_poses)
+        while self._n_materialized < n:
+            i = self._n_materialized
+            arr = self.key_poses[i]
+            if not isinstance(arr, np.ndarray):
+                lag = n - i
+                ready = True
+                if not force and lag <= self.max_pose_lag:
+                    try:
+                        ready = bool(arr.is_ready())
+                    except AttributeError:
+                        ready = True
+                if not ready:
+                    break
+                t0 = time.perf_counter()
+                arr = _np(arr)
+                if i < len(self.fg_time):
+                    self.fg_time[i] += time.perf_counter() - t0
+                self.key_poses[i] = arr
+            self._xyz_hist.append(np.asarray(arr[4:7]))
+            self._n_materialized += 1
+            self._reanchor_estimate()
+
+    def _reanchor_estimate(self):
+        """Re-derive the host estimate of the LAST key pose from the newest
+        materialized pose composed with the relative odometry of the still
+        in-flight keyframes."""
+        i = self._n_materialized - 1
+        if i < 0:
+            return
+        est = self.key_poses[i]
+        packets = self.dbm.host_record().packets
+        for j in range(i + 1, len(self.key_poses)):
+            est = se3np.compose(est, packets[j].rel_odom)
+        self._est_last = est
 
     # ------------------------------------------------------------------
     # Main keyframe path
@@ -128,6 +182,10 @@ class SlamNode:
         if not self.key_poses:
             pose_est = odom_pose
         else:
+            # host estimate; the device step composes the exact previous
+            # optimized pose itself, so this only labels the packet and
+            # gates the coarse LC-region check (pipelined fetch: the true
+            # pose may still be in flight)
             pose_est = se3np.compose(self.prev_key_pose(), rel)
 
         # loop-closure-region check (inputNode.cpp:105-119)
@@ -141,16 +199,22 @@ class SlamNode:
                                     drop=self.is_in_lc_region)
         self.key_poses.append(new_pose)
         self.key_stamps.append(float(stamp))
+        self._est_last = pose_est
         self.latest_odom = odom_pose
         self.dbm.host_record().bookmark_fg = len(self.dbm.host_record().packets)
         # multi-robot: fold any pending peer keyframes (sloamNode.cpp:912-1008)
         self.replay_peers()
         self._map_dirty = True   # compact map refreshed lazily (comm/LC time)
-        return new_pose
+        # consume any completed device->host pose transfers (non-blocking)
+        self._sync_poses()
+        return self.key_poses[-1]
 
-    def _fused_step(self, odom_pose, rel, packet: PoseMstPair,
-                    drop: bool) -> np.ndarray:
-        """Main keyframe path: ONE device dispatch (DA + insert + solve)."""
+    def _fused_step(self, odom_pose, rel, packet: PoseMstPair, drop: bool):
+        """Main keyframe path: ONE async device dispatch (DA + insert +
+        solve). Returns the optimized pose as a DEVICE array with its
+        host transfer already enqueued — consumed by _sync_poses with a
+        bounded lag so dispatch, device compute, and the tunnel's ~27 ms
+        fetch round-trip pipeline across consecutive keyframes."""
         packed = self._pack_obs(packet)
         odom_and_rel = np.stack([np.asarray(odom_pose, np.float32),
                                  np.asarray(rel, np.float32)])
@@ -165,7 +229,11 @@ class SlamNode:
             jnp.asarray(packed), jnp.asarray(drop), jnp.asarray(budget),
             self._noise_odom, self._noise_cube,
         )
-        pose = _np(out.pose)
+        pose = out.pose
+        try:
+            pose.copy_to_host_async()
+        except AttributeError:
+            pass
         self.fg_time.append(time.perf_counter() - t0)
         return pose
 
@@ -220,13 +288,18 @@ class SlamNode:
     # Loop-closure paths
     # ------------------------------------------------------------------
     def in_loop_closure_region(self, pose: np.ndarray) -> bool:
-        """CylinderMapManager::InLoopClosureRegion (cylinderMapManager.cpp:114-158)."""
+        """CylinderMapManager::InLoopClosureRegion (cylinderMapManager.cpp:114-158).
+
+        Uses the host mirror of at-insert optimized key poses (_xyz_hist) —
+        no device fetch in the per-keyframe path. Deviation (documented):
+        the device refreshes keypose_xyz after every solve; for this coarse
+        10 m / 2 m revisit gate the at-insert positions are equivalent."""
         cfg = self.cfg
-        n = int(self.state.pose_count[self.robot_id])
+        self._sync_poses()
+        n = self._n_materialized
         if n < cfg.lc_min_poses_old_region:
             return False
-        base = self.robot_id * cfg.capacity.max_poses_per_robot
-        xyz = np.asarray(self.state.keypose_xyz)[base:base + n]
+        xyz = np.asarray(self._xyz_hist[:n])
         q = _np(pose)[4:7]
         dxy = np.linalg.norm(xyz[:, :2] - q[:2], axis=1)
         dz = np.abs(xyz[:, 2] - q[2])
@@ -428,6 +501,12 @@ class SlamNode:
         traj = self.optimized_trajectory()
         for i in range(len(self.key_poses)):
             self.key_poses[i] = traj[i]
+        # all poses now materialized; refresh the mirrors to the
+        # re-optimized positions
+        self._n_materialized = len(self.key_poses)
+        self._xyz_hist = [p[4:7] for p in traj[:len(self.key_poses)]]
+        if self.key_poses:
+            self._est_last = self.key_poses[-1]
 
     def optimized_trajectory(self) -> np.ndarray:
         return self.trajectory_of(self.robot_id)
