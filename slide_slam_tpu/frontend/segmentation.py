@@ -115,3 +115,73 @@ def segment(model: RangeSegmentator, variables, range_input: jnp.ndarray):
     infer_node.py:231-236)."""
     logits = model.apply(variables, range_input, train=False)
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# CRF post-processing head (scan2shape/script/CRF.py)
+# ---------------------------------------------------------------------------
+
+def crf_refine(xyz: jnp.ndarray, softmax: jnp.ndarray, mask: jnp.ndarray,
+               iters: int = 3, window=(3, 5), xyz_sigma: float = 0.7,
+               xyz_coef: float = -0.1,
+               compat: jnp.ndarray = None) -> jnp.ndarray:
+    """Mean-field CRF refinement of per-pixel class probabilities on the
+    range image (the RangeNet++ optional post head, CRF.py:10-127):
+    per iteration, each pixel gathers its window's class probabilities
+    weighted by a Gaussian of 3D distance (LocallyConnectedXYZLayer), the
+    message is mixed through a class-compatibility matrix
+    (ones - identity, scaled by xyz_coef — the compat 1x1 conv init,
+    CRF.py:94-101; the conv is *learned* in the reference, and smoothing
+    requires the Potts-penalty sign, so xyz_coef defaults negative here),
+    added to the current softmax, and renormalized.
+
+    The torch original im2cols per class; here the window is a stack of
+    `h*w` rolled copies, so the whole head is a fused elementwise/reduce
+    graph — no gathers, XLA-friendly.
+
+    xyz [B,H,W,3] (invalid pixels arbitrary), softmax [B,H,W,C],
+    mask [B,H,W] valid pixels."""
+    B, H, W, C = softmax.shape
+    wh, ww = window
+    assert wh % 2 == 1 and ww % 2 == 1, "window must be odd"
+    if compat is None:
+        compat = (jnp.ones((C, C)) - jnp.eye(C)) * xyz_coef
+    den = 2.0 * xyz_sigma * xyz_sigma
+    maskf = mask.astype(softmax.dtype)
+
+    shifts = [(dy, dx) for dy in range(-(wh // 2), wh // 2 + 1)
+              for dx in range(-(ww // 2), ww // 2 + 1)]
+
+    def one_iter(sm):
+        sm = sm * maskf[..., None]
+        msg = jnp.zeros_like(sm)
+        for dy, dx in shifts:
+            x_s = jnp.roll(xyz, (dy, dx), axis=(1, 2))
+            sm_s = jnp.roll(sm, (dy, dx), axis=(1, 2))
+            m_s = jnp.roll(maskf, (dy, dx), axis=(1, 2))
+            d2 = jnp.sum((x_s - xyz) ** 2, axis=-1)
+            w = jnp.exp(-d2 / den) * m_s
+            msg = msg + sm_s * w[..., None]
+        reweight = msg @ compat
+        return jax.nn.softmax(reweight + sm, axis=-1)
+
+    sm = softmax
+    for _ in range(iters):
+        sm = one_iter(sm)
+    return sm
+
+
+def segment_with_crf(model: RangeSegmentator, variables,
+                     range_input: jnp.ndarray, iters: int = 3,
+                     window=(3, 5), xyz_sigma: float = 0.7,
+                     xyz_coef: float = -0.1) -> jnp.ndarray:
+    """Forward + CRF refinement -> labels. The range image's channels 1:4
+    are x,y,z exactly as the reference's CRF consumes them (CRF.py:110),
+    channel 0 is range; mask = range > 0."""
+    logits = model.apply(variables, range_input, train=False)
+    sm = jax.nn.softmax(logits, axis=-1)
+    xyz = range_input[..., 1:4]
+    mask = range_input[..., 0] > 0
+    sm = crf_refine(xyz, sm, mask, iters=iters, window=window,
+                    xyz_sigma=xyz_sigma, xyz_coef=xyz_coef)
+    return jnp.argmax(sm, axis=-1).astype(jnp.int32)

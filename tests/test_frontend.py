@@ -281,3 +281,39 @@ class TestSegmentation:
         labels = seg.segment(model, params, x)
         assert labels.shape == (1, 16, 128)
         assert labels.dtype == jnp.int32
+
+    def test_crf_smooths_isolated_errors(self):
+        """CRF head (CRF.py:10-127): a lone misclassified pixel inside a
+        spatially-tight uniform region flips to the neighborhood class;
+        distant regions don't bleed into each other."""
+        from slide_slam_tpu.frontend import segmentation as seg
+
+        H, W, C = 8, 16, 3
+        xyz = np.zeros((1, H, W, 3), np.float32)
+        xyz[0, :, :8] = [0.0, 0.0, 0.0]      # region A: tight cluster
+        xyz[0, :, 8:] = [50.0, 0.0, 0.0]     # region B: far away
+        sm = np.zeros((1, H, W, C), np.float32)
+        sm[0, :, :8, 1] = 0.9                # region A: class 1
+        sm[0, :, :8, 0] = 0.1
+        sm[0, :, 8:, 2] = 0.9                # region B: class 2
+        sm[0, :, 8:, 0] = 0.1
+        # one bad pixel in the middle of A claims class 2
+        sm[0, 4, 4] = [0.05, 0.15, 0.8]
+        mask = np.ones((1, H, W), bool)
+        out = seg.crf_refine(jnp.asarray(xyz), jnp.asarray(sm),
+                             jnp.asarray(mask), iters=3)
+        out = np.asarray(out)
+        assert out[0, 4, 4].argmax() == 1        # error smoothed away
+        assert out[0, 2, 2].argmax() == 1        # region A stable
+        assert out[0, 4, 12].argmax() == 2       # region B stable
+
+    def test_segment_with_crf_shapes(self):
+        from slide_slam_tpu.frontend import segmentation as seg
+
+        model = seg.small_segmentator(num_classes=6)
+        params = seg.init_params(model, jax.random.PRNGKey(0), height=16,
+                                 width=64)
+        x = np.zeros((1, 16, 64, 5), np.float32)
+        x[..., 0] = 5.0     # valid range everywhere
+        labels = seg.segment_with_crf(model, params, jnp.asarray(x), iters=1)
+        assert labels.shape == (1, 16, 64)
