@@ -51,6 +51,8 @@ def main():
     est = node.optimized_trajectory()
     ate = synthetic.ate_rmse(est, traj[:len(est)], align=False)
 
+    pr = bench_place_recognition(node)
+
     result = {
         "metric": "keyframes_per_sec",
         "value": round(kf_per_sec, 2),
@@ -61,9 +63,51 @@ def main():
             "ate_rmse_m": round(float(ate), 4),
             "landmarks": node.landmark_counts(),
             "mean_step_ms": round(1000.0 * dt / len(kfs), 2),
+            **pr,
         },
     }
     print(json.dumps(result))
+
+
+def bench_place_recognition(node):
+    """Inter-robot map-merge search time on the map the SLAM run just
+    built. The reference runs SlideMatch as an anytime CPU grid search
+    capped at `compute_budget_sec` (5 s default, 10 s in sloam.yaml:31);
+    here the WHOLE grid is one dense device kernel, so we report the full
+    exhaustive-search wall time and the speedup vs that 5 s budget."""
+    import numpy as np
+
+    ref_map = node.compact_map()
+    if len(ref_map) < 10:
+        return {}
+    rng = np.random.default_rng(1)
+    yaw = 0.6
+    c, s = np.cos(yaw), np.sin(yaw)
+    qry = ref_map.copy()
+    qry[:, 1:3] = qry[:, 1:3] @ np.array([[c, s], [-s, c]]) + [7.0, -4.0]
+    qry[:, 1:4] += rng.normal(0, 0.05, (len(qry), 3))
+    qry = qry[rng.uniform(size=len(qry)) < 0.7]
+
+    pr = node.place_recognition
+    pr.find_transformation(ref_map, qry, intra=False)   # compile
+    t0 = time.perf_counter()
+    found, xyzyaw, _, n_inl = pr.find_transformation(ref_map, qry,
+                                                     intra=False)
+    slidematch_ms = 1000.0 * (time.perf_counter() - t0)
+
+    sg = node.slidegraph
+    sg.find_inter_loop_closure(ref_map, qry)            # compile
+    t0 = time.perf_counter()
+    sg_found, _ = sg.find_inter_loop_closure(ref_map, qry)
+    slidegraph_ms = 1000.0 * (time.perf_counter() - t0)
+
+    return {
+        "slidematch_full_grid_ms": round(slidematch_ms, 1),
+        "slidematch_found": bool(found),
+        "slidegraph_ms": round(slidegraph_ms, 1),
+        "slidegraph_found": bool(sg_found),
+        "pr_speedup_vs_5s_budget": round(5000.0 / max(slidematch_ms, 1e-3), 1),
+    }
 
 
 if __name__ == "__main__":

@@ -9,11 +9,11 @@ On TPU the whole grid is evaluated at once:
    occupancy grid R[l, i, j] = "some map object with label l lies within
    match_threshold of this cell center". Built by scattering a DSxDS disk
    stencil around every map object with the exact distance test.
-2. **Dense scoring**: for every yaw candidate, rotate the query objects once;
-   the inlier count for translation t is sum_q R[label_q, cell(t + q_rot)].
-   Because the translation grid is separable, the gather indices factor into
-   per-axis terms, so scoring the entire [Y, G, G] grid is a batched gather +
-   sum — no rings, no budget, full coverage.
+2. **Dense scoring**: for every yaw candidate, rotate the query objects
+   once and rasterize them; the inlier counts for ALL translations at once
+   are the per-label cross-correlation of the query raster with the
+   reference raster — batched FFTs, which XLA lowers onto the MXU. No
+   rings, no budget, full coverage at raster granularity, zero gathers.
 3. **Exact rescore**: the top-K raster candidates are re-scored with the
    reference's exact criteria (label equality, exact XY distance, optional
    dimension check, first-map-match pairing, place_recognition.cpp:281-357),
@@ -42,9 +42,9 @@ N_LABEL_BINS = 16
 @dataclass(frozen=True)
 class SlideMatchDims:
     """Static kernel shapes (independent of the data)."""
-    t_grid: int = 256          # translation grid per axis
-    fine_grid: int = 1024      # label-raster resolution per axis
-    disk_radius_cells: int = 12
+    t_grid: int = 256          # unused since the FFT scorer (kept for compat)
+    fine_grid: int = 512       # label-raster resolution per axis
+    disk_radius_cells: int = 8
     max_objects: int = 384     # padded map/query object count
     n_yaw: int = 24
     rescore_topk: int = 64
@@ -83,7 +83,6 @@ def _slidematch_kernel(
     ignore_dimension: bool,
 ):
     F = dims.fine_grid
-    G = dims.t_grid
     DR = dims.disk_radius_cells
     M = ref.shape[0]
     Q = qry.shape[0]
@@ -119,48 +118,59 @@ def _slidematch_kernel(
     raster = raster.at[flat.reshape(-1)].max(
         jnp.ones_like(flat, jnp.int8).reshape(-1), mode="drop")
 
-    # ---- 2. dense scoring over the (yaw, tx, ty) grid ---------------------
-    # effective step grows if the requested range does not fit the grid
-    step_x = jnp.maximum(xy_step, 2.0 * half_x / (G - 1))
-    step_y = jnp.maximum(xy_step, 2.0 * half_y / (G - 1))
-    ti = (jnp.arange(G) - G // 2).astype(jnp.float32)
-    tx = ti * step_x                                                  # [G]
-    ty = ti * step_y
-    t_mask = ((jnp.abs(tx)[:, None] <= half_x + 1e-6)
-              & (jnp.abs(ty)[None, :] <= half_y + 1e-6))              # [G,G]
+    # ---- 2. dense scoring over the (yaw, tx, ty) grid via FFT -------------
+    # counts(t) at yaw = sum_q R_{l(q)}[cell(q_rot) + t] — a per-label cross-
+    # correlation of the reference raster with the rotated-query count
+    # raster, evaluated for EVERY translation cell at once:
+    #   counts = sum_l  ifft( conj(fft(Qcnt_l)) * fft(R_l) ).
+    # Gather-free: XLA lowers the batched FFTs onto the MXU, replacing the
+    # Y*G^2*Q random gathers of a direct evaluation. No circular aliasing:
+    # ext is padded so cell(q)+t stays in-raster for every |t| <= half and
+    # the wrapped band of R is provably empty (ext >= ref_ext + thresh + 1).
+    # Translations come out at fine_step granularity — finer than the
+    # reference's search_xy_step_size; the exact top-K rescore below removes
+    # any residual raster rounding either way.
+    R_fft = jnp.fft.rfft2(
+        raster.reshape(N_LABEL_BINS, F, F).astype(jnp.float32))
 
     q_bin = jnp.clip(qry[:, 0].astype(jnp.int32), 0, N_LABEL_BINS - 1)
-    q_off = q_bin * F * F                                             # [Q]
-    qv = jnp.where(qry_mask, 1, 0)
+    qv = jnp.where(qry_mask, 1.0, 0.0)
 
     def score_one_yaw(yaw):
         c, s_ = jnp.cos(yaw), jnp.sin(yaw)
         qr_x = c * qry_xy[:, 0] - s_ * qry_xy[:, 1]                   # [Q]
         qr_y = s_ * qry_xy[:, 0] + c * qry_xy[:, 1]
-        # cell(t + q_rot) separates per axis:
-        ix = jnp.floor((tx[:, None] + qr_x[None, :] + ext)
-                       / fine_step).astype(jnp.int32)                 # [G,Q]
-        iy = jnp.floor((ty[:, None] + qr_y[None, :] + ext)
-                       / fine_step).astype(jnp.int32)                 # [G,Q]
-        ix = jnp.clip(ix, 0, F - 1)
-        iy = jnp.clip(iy, 0, F - 1)
-        row_idx = q_off[None, :] + ix * F                             # [G,Q]
-        flat_idx = row_idx[:, None, :] + iy[None, :, :]               # [G,G,Q]
-        hits = jnp.take(raster, flat_idx.reshape(-1), mode="clip")
-        hits = hits.reshape(G, G, Q).astype(jnp.int32) * qv[None, None, :]
-        return jnp.sum(hits, axis=-1)                                 # [G,G]
+        cxq = jnp.floor((qr_x + ext) / fine_step).astype(jnp.int32)
+        cyq = jnp.floor((qr_y + ext) / fine_step).astype(jnp.int32)
+        inb = ((cxq >= 0) & (cxq < F) & (cyq >= 0) & (cyq < F)
+               & qry_mask)
+        flat_q = q_bin * F * F + cxq * F + cyq
+        flat_q = jnp.where(inb, flat_q, N_LABEL_BINS * F * F)
+        qcnt = jnp.zeros((N_LABEL_BINS * F * F,), jnp.float32)
+        qcnt = qcnt.at[flat_q].add(qv, mode="drop")
+        Q_fft = jnp.fft.rfft2(qcnt.reshape(N_LABEL_BINS, F, F))
+        corr = jnp.fft.irfft2(jnp.conj(Q_fft) * R_fft, s=(F, F))      # [L,F,F]
+        return jnp.sum(corr, axis=0)                                  # [F,F]
 
-    counts = jax.lax.map(score_one_yaw, yaws)                         # [Y,G,G]
+    counts = jax.lax.map(score_one_yaw, yaws)                         # [Y,F,F]
+    counts = jnp.round(counts).astype(jnp.int32)
+
+    # shift index k -> signed translation t = k_signed * fine_step
+    k = jnp.arange(F)
+    k_signed = jnp.where(k > F // 2, k - F, k).astype(jnp.float32)
+    tvals = k_signed * fine_step                                      # [F]
+    t_mask = ((jnp.abs(tvals)[:, None] <= half_x + 1e-6)
+              & (jnp.abs(tvals)[None, :] <= half_y + 1e-6))           # [F,F]
     counts = jnp.where(t_mask[None], counts, -1)
 
     # ---- 3. exact rescore of the top-K raster candidates ------------------
     K = dims.rescore_topk
     flat_counts = counts.reshape(-1)
     _, top_idx = jax.lax.top_k(flat_counts, K)
-    yaw_i = top_idx // (G * G)
-    tx_i = (top_idx // G) % G
-    ty_i = top_idx % G
-    cand = jnp.stack([tx[tx_i], ty[ty_i], yaws[yaw_i]], axis=1)       # [K,3]
+    yaw_i = top_idx // (F * F)
+    tx_i = (top_idx // F) % F
+    ty_i = top_idx % F
+    cand = jnp.stack([tvals[tx_i], tvals[ty_i], yaws[yaw_i]], axis=1)  # [K,3]
 
     ref_dims = ref[:, 4:7]
     qry_dims = qry[:, 4:7]
