@@ -52,6 +52,7 @@ def main():
     ate = synthetic.ate_rmse(est, traj[:len(est)], align=False)
 
     pr = bench_place_recognition(node)
+    pr.update(bench_spmd(cfg))
 
     result = {
         "metric": "keyframes_per_sec",
@@ -67,6 +68,35 @@ def main():
         },
     }
     print(json.dumps(result))
+
+
+def bench_spmd(cfg):
+    """Decentralized multi-robot SPMD engine: all robots' keyframe steps
+    (each with its own DA + factor insert + solve) execute as ONE jitted
+    program over a `jax.sharding.Mesh`. On one chip the robots run
+    replicated; on N chips the same program shards robot-per-device
+    (dryrun_multichip validates that path on a virtual mesh)."""
+    import jax
+    from jax.sharding import Mesh
+    from slide_slam_tpu.parallel import multirobot as mr
+
+    try:
+        mesh = Mesh(np.asarray(jax.devices()[:1]), ("robot",))
+        state = mr.make_spmd_state(cfg, mesh)
+        step = mr.build_spmd_step(cfg, mesh)
+        packets = mr.make_example_packets(cfg)
+        state = step(state, packets)
+        jax.block_until_ready(state.graph.poses)
+        n = 20
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state = step(state, packets)
+        jax.block_until_ready(state.graph.poses)
+        ms = 1000.0 * (time.perf_counter() - t0) / n
+        return {"spmd_step_ms_all_robots": round(ms, 2),
+                "spmd_robots": cfg.number_of_robots}
+    except Exception:
+        return {}
 
 
 def bench_place_recognition(node):

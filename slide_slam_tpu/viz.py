@@ -81,6 +81,40 @@ def render_mission(nodes, truths: Optional[Dict[int, np.ndarray]] = None,
     return out_path
 
 
+def render_matched_maps(reference_map: np.ndarray, query_map: np.ndarray,
+                        tf4: np.ndarray, ref_pairs: Optional[np.ndarray] = None,
+                        det_pairs: Optional[np.ndarray] = None,
+                        path: Optional[str] = None):
+    """Place-recognition match visualization (the reference publishes the
+    matched-pair marker arrays from PlaceRecognition,
+    place_recognition.cpp:970-1110): the reference map, the query map
+    transformed by the recovered TF overlaid on it, and lines joining the
+    matched (reference, detection) pairs."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 8))
+    plot_map(ax, reference_map, alpha=0.8)
+    qry = np.asarray(query_map, np.float64).copy()
+    R, t = np.asarray(tf4)[:3, :3], np.asarray(tf4)[:3, 3]
+    qry[:, 1:4] = qry[:, 1:4] @ R.T + t
+    for row in qry:
+        ax.plot(row[1], row[2], "x", color=_color(row[0]), ms=6, mew=2)
+    if ref_pairs is not None and det_pairs is not None:
+        det = np.asarray(det_pairs, np.float64).copy()
+        det[:, 1:4] = det[:, 1:4] @ R.T + t
+        for r, d in zip(np.asarray(ref_pairs), det):
+            ax.plot([r[1], d[1]], [r[2], d[2]], "-", color="0.4", lw=0.8)
+    ax.set_aspect("equal")
+    ax.set_title("place recognition match (o = reference, x = query @ TF)")
+    if path:
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return path
+    return fig
+
+
 def runtime_summary(node) -> str:
     """Status text mirroring the runtime-analysis fields."""
     def avg(xs):
