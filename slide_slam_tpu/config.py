@@ -91,6 +91,9 @@ class SolverConfig:
     incremental_outer_iterations: int = 1
     incremental_pcg_iterations: int = 64
     incremental_pcg_tol: float = 1e-3
+    # Block-Jacobi (per-variable dense blocks of J^T J) preconditioner:
+    # fewer PCG iterations per solve at a small per-iteration setup cost
+    use_block_jacobi: bool = False
 
 
 @dataclass(frozen=True)

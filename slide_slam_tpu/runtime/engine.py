@@ -136,6 +136,7 @@ def keyframe_step_fused(
         outer_iters=solver_budget[0].astype(jnp.int32),
         pcg_iters=solver_budget[1].astype(jnp.int32),
         pcg_tol=solver_budget[2],
+        block_precond=cfg.solver.use_block_jacobi,
     )
     return s, out._replace(pose=s.poses[out.slot])
 
@@ -311,6 +312,7 @@ def _keyframe_body(cfg, state, robot_id, pose_estimate, rel_odom, scan_cyl,
             outer_iters=cfg.solver.incremental_outer_iterations,
             pcg_iters=cfg.solver.pcg_max_iterations,
             pcg_tol=cfg.solver.pcg_tol,
+            block_precond=cfg.solver.use_block_jacobi,
         )
 
     if enable_solve:
@@ -339,6 +341,7 @@ def _solve_budget(cfg: SlamConfig, state: GraphState, outer_iters, pcg_iters,
         outer_iters=outer_iters,
         pcg_iters=pcg_iters,
         pcg_tol=pcg_tol,
+        block_precond=cfg.solver.use_block_jacobi,
     )
 
 
