@@ -95,8 +95,8 @@ def bench_spmd(cfg):
         ms = 1000.0 * (time.perf_counter() - t0) / n
         return {"spmd_step_ms_all_robots": round(ms, 2),
                 "spmd_robots": cfg.number_of_robots}
-    except Exception:
-        return {}
+    except Exception as e:   # surfaced, not swallowed: a broken SPMD path
+        return {"spmd_error": repr(e)}   # must be distinguishable from absent
 
 
 def bench_place_recognition(node):

@@ -72,19 +72,32 @@ def fit_plane_ransac(points: jnp.ndarray, mask: jnp.ndarray,
     TPU, so ALL hypotheses are materialized at once: [I, H] candidate
     planes from random point triples, [I, H, G] inlier tests by broadcast,
     argmax over H, then one masked least-squares refit on the winning
-    consensus set — exact RANSAC semantics, one fused kernel."""
+    consensus set — exact RANSAC semantics, one fused kernel.
+
+    Hypothesis triples are drawn from the MASKED subset of each row (the
+    per-row valid points are compacted to the front with a stable argsort
+    and uniform draws are taken modulo the valid count), so sparse masks —
+    e.g. 2 m ground patches out of 1024 scan-wide padded points in
+    pipeline.py — still yield all-valid hypotheses."""
     I, G, _ = points.shape
     key = jax.random.PRNGKey(seed)
-    idx = jax.random.randint(key, (I, n_hypotheses, 3), 0, G)
-    # re-draw collisions deterministically by offsetting (cheap, avoids
-    # degenerate triples when G is small)
-    idx = idx.at[..., 1].set((idx[..., 1] + 1 + idx[..., 0]) % G)
-    idx = idx.at[..., 2].set((idx[..., 2] + 7 + idx[..., 1]) % G)
+    # valid-point indices compacted to the front of each row
+    order = jnp.argsort(jnp.where(mask, 0, 1), axis=-1, stable=True)  # [I,G]
+    cnt = jnp.maximum(jnp.sum(mask, axis=-1), 1)                      # [I]
+    r = jax.random.randint(key, (I, n_hypotheses, 3), 0, jnp.iinfo(jnp.int32).max)
+    j = r % cnt[:, None, None]
+    # re-draw collisions deterministically by offsetting WITHIN the valid
+    # range (cheap, avoids degenerate triples when the valid count is small)
+    j = j.at[..., 1].set((j[..., 1] + 1 + j[..., 0]) % cnt[:, None])
+    j = j.at[..., 2].set((j[..., 2] + 7 + j[..., 1]) % cnt[:, None])
+    idx = jax.vmap(lambda o, jj: o[jj])(order, j)                     # [I,H,3]
 
     tri = jnp.take_along_axis(points[:, None, :, :],
                               idx[..., None].repeat(3, -1), axis=2)  # [I,H,3,3]
+    # all draws land on valid points whenever the row has >= 3 of them
     tri_ok = jnp.all(jnp.take_along_axis(mask[:, None, :], idx, axis=2),
                      axis=-1)                                        # [I,H]
+    tri_ok = tri_ok & (jnp.sum(mask, axis=-1) >= 3)[:, None]
     p0, p1, p2 = tri[:, :, 0], tri[:, :, 1], tri[:, :, 2]
     n = jnp.cross(p1 - p0, p2 - p0)
     nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
@@ -100,18 +113,24 @@ def fit_plane_ransac(points: jnp.ndarray, mask: jnp.ndarray,
 
     best_inl = jnp.take_along_axis(inl, best[:, None, None], axis=1)[:, 0]
     best_cnt = jnp.take_along_axis(counts, best[:, None], axis=1)[:, 0]
-    # final consensus refit (masked LSQ); fall back to all points if the
-    # consensus set is too small
-    refit_mask = jnp.where((best_cnt >= 3)[:, None], best_inl, mask)
 
     def lsq(pts, m):
-        cnt = jnp.maximum(jnp.sum(m), 1)
-        mu = jnp.sum(jnp.where(m[:, None], pts, 0.0), axis=0) / cnt
+        c = jnp.maximum(jnp.sum(m), 1)
+        mu = jnp.sum(jnp.where(m[:, None], pts, 0.0), axis=0) / c
         dd = jnp.where(m[:, None], pts - mu, 0.0)
-        w, v = jnp.linalg.eigh(dd.T @ dd / cnt)
+        w, v = jnp.linalg.eigh(dd.T @ dd / c)
         nrm = v[:, 0]
         nrm = jnp.where(nrm[2] < 0, -nrm, nrm)
         return nrm, -jnp.dot(nrm, mu)
+
+    # if no hypothesis survived (degenerate geometry), fall back to a ROBUST
+    # refit — plain fit on the mask, then re-fit on its thresh-inliers —
+    # never to an unguarded LSQ over outlier-contaminated points
+    n0, d0 = jax.vmap(lsq)(points, mask)
+    fb_inl = mask & (jnp.abs(jnp.einsum("igd,id->ig", points, n0)
+                             + d0[:, None]) < thresh)
+    fb = jnp.where((jnp.sum(fb_inl, axis=-1) >= 3)[:, None], fb_inl, mask)
+    refit_mask = jnp.where((best_cnt >= 3)[:, None], best_inl, fb)
 
     nf, df = jax.vmap(lsq)(points, refit_mask)
     return nf, df, jnp.maximum(best_cnt, 0)

@@ -287,6 +287,37 @@ def full_definition(full_name: str) -> str:
     return "\n".join(parts)
 
 
+def definition_from_specs(reg: TypeRegistry, full_name: str) -> str:
+    """Regenerate a gendeps-style concatenated definition from a registry's
+    parsed specs (main body + '='*80-separated MSG: dependency blocks), so
+    bags written from a custom registry stay self-describing."""
+    if full_name not in reg.specs:
+        raise KeyError(f"no message definition for {full_name!r} in registry")
+
+    def body(t: str) -> str:
+        lines = []
+        for f in reg.specs[t].fields:
+            suffix = ("" if f.array_len is None
+                      else "[]" if f.array_len == -1 else f"[{f.array_len}]")
+            lines.append(f"{f.type}{suffix} {f.name}")
+        return "\n".join(lines) + "\n"
+
+    seen: List[str] = []
+
+    def visit(t):
+        for f in reg.specs[t].fields:
+            ft = f.type
+            if ft in reg.specs and ft not in seen:
+                seen.append(ft)
+                visit(ft)
+
+    visit(full_name)
+    out = body(full_name)
+    for dep in seen:
+        out += "=" * 80 + f"\nMSG: {dep}\n" + body(dep)
+    return out
+
+
 def builtin_registry() -> TypeRegistry:
     reg = TypeRegistry()
     for name in BUILTIN_DEFS:
@@ -453,8 +484,12 @@ def write_bag(path: str, messages: List[Tuple[str, str, float, dict]],
                 "topic": topic.encode(),
                 "type": mtype.encode(),
                 "md5sum": b"*",
-                "message_definition": full_definition(mtype).encode()
-                if mtype in BUILTIN_DEFS else b""})
+                # always embed a real definition so written bags stay
+                # self-describing (an empty one would silently deserialize
+                # every message of this type as {})
+                "message_definition": (
+                    full_definition(mtype) if mtype in BUILTIN_DEFS
+                    else definition_from_specs(reg, mtype)).encode()})
             inner += struct.pack("<I", len(conn_hdr)) + conn_hdr
             inner += struct.pack("<I", len(conn_data)) + conn_data
         sec = int(stamp)

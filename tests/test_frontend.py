@@ -185,6 +185,32 @@ class TestCylinderFit:
         assert np.all(np.isfinite(np.asarray(n2)))
         assert int(cnt2[0]) == 0
 
+    def test_plane_fit_ransac_sparse_mask(self):
+        """Live-pipeline shape: the patch mask covers only ~4% of 1024
+        padded ground points (pipeline.py:175-181) and 30% of THOSE are
+        wall outliers. Hypotheses must be drawn from the masked subset —
+        uniform draws over all padded slots would yield no valid triple
+        and silently fall back to outlier-contaminated LSQ."""
+        rng = np.random.default_rng(11)
+        G = 1024
+        n_in, n_out = 28, 12            # 40 masked points out of 1024
+        pts = rng.uniform(-50, 50, (G, 3)).astype(np.float32)  # padding junk
+        mask = np.zeros(G, bool)
+        sel = rng.choice(G, n_in + n_out, replace=False)
+        xy = rng.uniform(-1, 1, (n_in, 2))
+        z = 0.02 * xy[:, 0] + 0.3 + rng.normal(0, 0.005, n_in)
+        pts[sel[:n_in]] = np.column_stack([xy, z])
+        # wall outliers: vertical plane
+        t = rng.uniform(0, 2, (n_out, 2))
+        pts[sel[n_in:]] = np.column_stack([t[:, 0], np.full(n_out, 1.0), t[:, 1]])
+        mask[sel] = True
+        n, d, cnt = cylinder_fit.fit_plane_ransac(
+            jnp.asarray(pts)[None], jnp.asarray(mask)[None], thresh=0.05)
+        n, d = np.asarray(n[0]), float(d[0])
+        assert int(cnt[0]) >= n_in * 0.8     # valid hypotheses were found
+        assert n[2] > 0.99                   # ground stays horizontal
+        assert abs(np.dot(n, [0, 0, 0.3]) + d) < 0.05
+
 
 # ---------------------------------------------------------------------------
 class TestTracker:

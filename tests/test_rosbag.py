@@ -162,3 +162,27 @@ def test_cli_convert_bag(tmp_path, capsys):
     assert len(log2.keyframes) == 6
     cli.main(["convert-bag", "--bag", bag, "--list"])
     assert "semantic_meas_sync_odom" in capsys.readouterr().out
+
+
+def test_write_bag_custom_type_self_describing(tmp_path):
+    """Bags written from a custom registry embed a real definition: a FRESH
+    reader (no registry supplied) must fully decode the message instead of
+    silently yielding {} from an empty message_definition."""
+    reg = rosbag.builtin_registry()
+    reg.parse_definition(
+        "foo_msgs/Custom",
+        "float32[3] xyz\nuint8 flag\nstring tag\n")
+    msg = {"xyz": [1.0, 2.0, 3.0], "flag": 7, "tag": "hello"}
+    bag = str(tmp_path / "custom.bag")
+    rosbag.write_bag(bag, [("/t", "foo_msgs/Custom", 1.5, msg)], registry=reg)
+    out = list(rosbag.read_bag(bag))
+    assert len(out) == 1
+    got = out[0].msg
+    # decoded payload carries every field, not {}
+    assert isinstance(got, dict) and got, f"empty decode: {out[0]!r}"
+    np.testing.assert_allclose(got["xyz"], [1.0, 2.0, 3.0])
+    assert got["flag"] == 7 and got["tag"] == "hello"
+    # unknown types without a definition raise instead of writing junk
+    with pytest.raises(KeyError):
+        rosbag.write_bag(str(tmp_path / "bad.bag"),
+                         [("/t", "foo_msgs/Nope", 0.0, {})], registry=reg)
