@@ -77,6 +77,23 @@ class CapacityConfig:
     submap_k_ellipsoid: int = 256         # ellipsoidMapManager KNN=1000 == "all"
 
 
+def demo_scale_capacity() -> CapacityConfig:
+    """Capacities sized for the reference's forest demo scale (multi-km
+    3-robot missions: ~0.5 m keyframe spacing over >1 km of travel and
+    dense tree maps). Use when overflow counters report drops at the
+    default sizes."""
+    return CapacityConfig(
+        max_poses_per_robot=2048,
+        max_cylinders=4096,
+        max_cuboids=1024,
+        max_points=1024,
+        max_cylinder_factors=16384,
+        max_cuboid_factors=4096,
+        max_point_factors=4096,
+        max_between_factors=512,
+    )
+
+
 @dataclass(frozen=True)
 class SolverConfig:
     """Batched Levenberg-Marquardt + PCG (replaces iSAM2, graph.cpp:14-22)."""

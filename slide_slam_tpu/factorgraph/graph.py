@@ -27,6 +27,11 @@ from ..config import SlamConfig
 from ..geometry import se3
 
 
+OVERFLOW_FIELDS = ("poses", "cylinders", "cuboids", "points",
+                   "cylinder_factors", "cuboid_factors", "point_factors",
+                   "between_factors")
+
+
 class GraphState(NamedTuple):
     # ---- variables -------------------------------------------------------
     poses: jnp.ndarray        # [R*P, 7]
@@ -84,6 +89,12 @@ class GraphState(NamedTuple):
 
     # ---- bookkeeping -----------------------------------------------------
     keypose_xyz: jnp.ndarray  # [R*P, 3] key pose positions (for LC queries)
+    # cumulative capacity-overflow counters, indexed by OVERFLOW_FIELDS:
+    # [poses, cyl_lm, cub_lm, pt_lm, cyl_f, cub_f, pt_f, between_f] — every
+    # dropped append is counted here so silent truncation is host-visible
+    # (runtime-analysis txt; the reference grows std::vectors and never
+    # drops, so any nonzero counter means "raise the capacity preset")
+    overflow: jnp.ndarray     # [8] int32
 
     @property
     def num_robots(self) -> int:
@@ -192,6 +203,7 @@ def empty_state(cfg: SlamConfig, dtype=jnp.float32) -> GraphState:
         uf_range=jnp.zeros((F3,), dtype),
         uf_count=jnp.zeros((), i32),
         keypose_xyz=jnp.zeros((R * P, 3), dtype),
+        overflow=jnp.zeros((8,), i32),
     )
 
 

@@ -36,6 +36,7 @@ class StepOutput(NamedTuple):
     cyl_matches: jnp.ndarray     # [S] global landmark idx or -1
     cub_matches: jnp.ndarray
     pt_matches: jnp.ndarray
+    overflow: jnp.ndarray        # [8] cumulative drop counters (graph.OVERFLOW_FIELDS)
 
 
 def _append_dests(count, mask, cap):
@@ -174,9 +175,14 @@ def _keyframe_body(cfg, state, robot_id, pose_estimate, rel_odom, scan_cyl,
     P = cap.max_poses_per_robot
     dump = jnp.int32(1 << 30)       # OOB sentinel for dropped scatters
 
-    scan_cyl = scan_cyl._replace(valid=scan_cyl.valid & ~drop_detections)
-    scan_cub = scan_cub._replace(valid=scan_cub.valid & ~drop_detections)
-    scan_ell = scan_ell._replace(valid=scan_ell.valid & ~drop_detections)
+    # pose-capacity gate: a keyframe past max_poses_per_robot is DROPPED
+    # whole (pose, landmarks, factors) and counted in overflow[0] — an
+    # unclamped scatter would silently write into the NEXT robot's chain
+    pose_ok = state.pose_count[robot_id] < P
+    kill = drop_detections | ~pose_ok
+    scan_cyl = scan_cyl._replace(valid=scan_cyl.valid & ~kill)
+    scan_cub = scan_cub._replace(valid=scan_cub.valid & ~kill)
+    scan_ell = scan_ell._replace(valid=scan_ell.valid & ~kill)
 
     # ---- project scan to world (sloam.cpp:205-217) -----------------------
     cyl_w = scan_cyl.project(pose_estimate)
@@ -213,8 +219,10 @@ def _keyframe_body(cfg, state, robot_id, pose_estimate, rel_odom, scan_cyl,
     pt_m = jnp.where(scan_ell.valid, pt_m, -1)
 
     # ---- landmark insert / hit update (cylinderMapManager.cpp:35-68) -----
+    # every drop (capacity hit) is counted in `overflow` — no silent caps
     new_cyl = scan_cyl.valid & (cyl_m == -1)
     cyl_dest = _append_dests(s.cyl_count, new_cyl, dump)
+    n_cyl_new = jnp.minimum(s.cyl_count + jnp.sum(new_cyl), cap.max_cylinders)
     s = s._replace(
         cyl_root=s.cyl_root.at[cyl_dest].set(cyl_w.root, mode="drop"),
         cyl_ray=s.cyl_ray.at[cyl_dest].set(cyl_w.ray, mode="drop"),
@@ -222,62 +230,83 @@ def _keyframe_body(cfg, state, robot_id, pose_estimate, rel_odom, scan_cyl,
         cyl_label=s.cyl_label.at[cyl_dest].set(cyl_w.label, mode="drop"),
         cyl_hits=s.cyl_hits.at[cyl_dest].set(1, mode="drop")
                           .at[jnp.where(cyl_m >= 0, cyl_m, dump)].add(1, mode="drop"),
-        cyl_count=jnp.minimum(s.cyl_count + jnp.sum(new_cyl), cap.max_cylinders),
+        cyl_count=n_cyl_new,
+        overflow=s.overflow.at[1].add(
+            jnp.sum(new_cyl) - (n_cyl_new - s.cyl_count)),
     )
     new_cub = scan_cub.valid & (cub_m == -1)
     cub_dest = _append_dests(s.cub_count, new_cub, dump)
+    n_cub_new = jnp.minimum(s.cub_count + jnp.sum(new_cub), cap.max_cuboids)
     s = s._replace(
         cub_pose=s.cub_pose.at[cub_dest].set(cub_w.pose, mode="drop"),
         cub_scale=s.cub_scale.at[cub_dest].set(cub_w.scale, mode="drop"),
         cub_label=s.cub_label.at[cub_dest].set(cub_w.label, mode="drop"),
         cub_hits=s.cub_hits.at[cub_dest].set(1, mode="drop")
                           .at[jnp.where(cub_m >= 0, cub_m, dump)].add(1, mode="drop"),
-        cub_count=jnp.minimum(s.cub_count + jnp.sum(new_cub), cap.max_cuboids),
+        cub_count=n_cub_new,
+        overflow=s.overflow.at[2].add(
+            jnp.sum(new_cub) - (n_cub_new - s.cub_count)),
     )
     new_pt = scan_ell.valid & (pt_m == -1)
     pt_dest = _append_dests(s.pt_count, new_pt, dump)
+    n_pt_new = jnp.minimum(s.pt_count + jnp.sum(new_pt), cap.max_points)
     s = s._replace(
         pt_pos=s.pt_pos.at[pt_dest].set(ell_w.centroid(), mode="drop"),
         pt_scale=s.pt_scale.at[pt_dest].set(ell_w.scale, mode="drop"),
         pt_label=s.pt_label.at[pt_dest].set(ell_w.label, mode="drop"),
         pt_hits=s.pt_hits.at[pt_dest].set(1, mode="drop")
                         .at[jnp.where(pt_m >= 0, pt_m, dump)].add(1, mode="drop"),
-        pt_count=jnp.minimum(s.pt_count + jnp.sum(new_pt), cap.max_points),
+        pt_count=n_pt_new,
+        overflow=s.overflow.at[3].add(
+            jnp.sum(new_pt) - (n_pt_new - s.pt_count)),
     )
 
     # ---- pose insert + odometry factor (graphWrapper.cpp:113-121) --------
     count_r = s.pose_count[robot_id]
-    slot = robot_id * P + count_r
+    # readable slot: the pose this keyframe lands in (or, on overflow, the
+    # last valid pose of the chain — factors below are already masked off)
+    slot = robot_id * P + jnp.minimum(count_r, P - 1)
+    slot_w = jnp.where(pose_ok, slot, dump)   # write target, dropped on ovf
     first = count_r == 0
     t_rel = jnp.linalg.norm(se3.trans(rel_odom))
     odom_sig = _scaled_sigma(odom_noise, t_rel, 0.1)
     s = s._replace(
-        poses=s.poses.at[slot].set(pose_estimate),
-        keypose_xyz=s.keypose_xyz.at[slot].set(se3.trans(pose_estimate)),
-        odom_rel=s.odom_rel.at[slot].set(rel_odom),
-        odom_sigma=s.odom_sigma.at[slot].set(odom_sig),
-        pose_count=s.pose_count.at[robot_id].add(1),
+        poses=s.poses.at[slot_w].set(pose_estimate, mode="drop"),
+        keypose_xyz=s.keypose_xyz.at[slot_w].set(se3.trans(pose_estimate),
+                                                 mode="drop"),
+        odom_rel=s.odom_rel.at[slot_w].set(rel_odom, mode="drop"),
+        odom_sigma=s.odom_sigma.at[slot_w].set(odom_sig, mode="drop"),
+        pose_count=s.pose_count.at[robot_id].add(pose_ok.astype(jnp.int32)),
         prior_pose=jnp.where(first, s.prior_pose.at[robot_id].set(pose_estimate),
                              s.prior_pose),
         prior_valid=s.prior_valid.at[robot_id].set(s.prior_valid[robot_id] | first),
+        overflow=s.overflow.at[0].add(1 - pose_ok.astype(jnp.int32)),
     )
 
     # ---- factor appends --------------------------------------------------
+    # a factor whose landmark insert itself overflowed would reference an
+    # out-of-range landmark index -> masked off (and counted as dropped)
     # cylinder factors: measurement is the body-frame scan object
     # (graph.cpp:182-196 projects the world obs back by pose^-1; body == that)
     lm7_body = jnp.concatenate(
         [scan_cyl.ray, scan_cyl.root, scan_cyl.radius[:, None]], axis=-1)
-    cf_dest = _append_dests(s.cf_count, scan_cyl.valid, dump)
     cyl_lm_idx = jnp.where(new_cyl, cyl_dest, cyl_m).astype(jnp.int32)
+    cf_ok = scan_cyl.valid & (cyl_lm_idx < cap.max_cylinders)
+    cf_dest = _append_dests(s.cf_count, cf_ok, dump)
+    n_cf_new = jnp.minimum(s.cf_count + jnp.sum(cf_ok), cap.max_cylinder_factors)
     s = s._replace(
         cf_pose=s.cf_pose.at[cf_dest].set(slot.astype(jnp.int32), mode="drop"),
         cf_lm=s.cf_lm.at[cf_dest].set(cyl_lm_idx, mode="drop"),
         cf_meas=s.cf_meas.at[cf_dest].set(lm7_body, mode="drop"),
-        cf_count=jnp.minimum(s.cf_count + jnp.sum(scan_cyl.valid), cap.max_cylinder_factors),
+        cf_count=n_cf_new,
+        overflow=s.overflow.at[4].add(
+            jnp.sum(scan_cyl.valid) - (n_cf_new - s.cf_count)),
     )
     # cuboid factors: body measurement + range-scaled sigma (graph.cpp:198-231)
-    kf_dest = _append_dests(s.kf_count, scan_cub.valid, dump)
     cub_lm_idx = jnp.where(new_cub, cub_dest, cub_m).astype(jnp.int32)
+    kf_ok = scan_cub.valid & (cub_lm_idx < cap.max_cuboids)
+    kf_dest = _append_dests(s.kf_count, kf_ok, dump)
+    n_kf_new = jnp.minimum(s.kf_count + jnp.sum(kf_ok), cap.max_cuboid_factors)
     cub_rng = jnp.linalg.norm(se3.trans(scan_cub.pose), axis=-1)
     kf_sig = cube_noise[None, :] * jnp.maximum(cub_rng, 0.1)[:, None]
     s = s._replace(
@@ -286,12 +315,16 @@ def _keyframe_body(cfg, state, robot_id, pose_estimate, rel_odom, scan_cyl,
         kf_meas_pose=s.kf_meas_pose.at[kf_dest].set(scan_cub.pose, mode="drop"),
         kf_meas_scale=s.kf_meas_scale.at[kf_dest].set(scan_cub.scale, mode="drop"),
         kf_sigma=s.kf_sigma.at[kf_dest].set(kf_sig, mode="drop"),
-        kf_count=jnp.minimum(s.kf_count + jnp.sum(scan_cub.valid), cap.max_cuboid_factors),
+        kf_count=n_kf_new,
+        overflow=s.overflow.at[5].add(
+            jnp.sum(scan_cub.valid) - (n_kf_new - s.kf_count)),
     )
     # bearing-range factors from body-frame ellipsoid centroids
     # (graphWrapper.cpp:159-202)
-    uf_dest = _append_dests(s.uf_count, scan_ell.valid, dump)
     pt_lm_idx = jnp.where(new_pt, pt_dest, pt_m).astype(jnp.int32)
+    uf_ok = scan_ell.valid & (pt_lm_idx < cap.max_points)
+    uf_dest = _append_dests(s.uf_count, uf_ok, dump)
+    n_uf_new = jnp.minimum(s.uf_count + jnp.sum(uf_ok), cap.max_point_factors)
     p_body = se3.trans(scan_ell.pose)
     rng = jnp.linalg.norm(p_body, axis=-1)
     bearing = p_body / jnp.maximum(rng[:, None], 1e-9)
@@ -300,7 +333,9 @@ def _keyframe_body(cfg, state, robot_id, pose_estimate, rel_odom, scan_cyl,
         uf_lm=s.uf_lm.at[uf_dest].set(pt_lm_idx, mode="drop"),
         uf_bearing=s.uf_bearing.at[uf_dest].set(bearing, mode="drop"),
         uf_range=s.uf_range.at[uf_dest].set(rng, mode="drop"),
-        uf_count=jnp.minimum(s.uf_count + jnp.sum(scan_ell.valid), cap.max_point_factors),
+        uf_count=n_uf_new,
+        overflow=s.overflow.at[6].add(
+            jnp.sum(scan_ell.valid) - (n_uf_new - s.uf_count)),
     )
 
     # ---- solve (graph.cpp:260-272 -> batched GN, solver.py) --------------
@@ -327,6 +362,7 @@ def _keyframe_body(cfg, state, robot_id, pose_estimate, rel_odom, scan_cyl,
         cyl_matches=cyl_m,
         cub_matches=cub_m,
         pt_matches=pt_m,
+        overflow=s.overflow,
     )
     return s, out
 
@@ -367,13 +403,17 @@ def add_between_factor(cfg: SlamConfig, state: GraphState,
                        slot_i: jnp.ndarray, slot_j: jnp.ndarray,
                        rel: jnp.ndarray, sigma: jnp.ndarray) -> GraphState:
     """Append a loop-closure / relative-measurement between factor
-    (graph.cpp:233-258)."""
+    (graph.cpp:233-258). A full between-factor array drops the append (an
+    unclamped write would corrupt the LAST factor) and counts overflow[7]."""
     s = state
     k = s.bf_count
+    ok = k < s.bf_i.shape[0]
+    k_w = jnp.where(ok, k, jnp.int32(1 << 30))
     return s._replace(
-        bf_i=s.bf_i.at[k].set(slot_i.astype(jnp.int32)),
-        bf_j=s.bf_j.at[k].set(slot_j.astype(jnp.int32)),
-        bf_rel=s.bf_rel.at[k].set(rel),
-        bf_sigma=s.bf_sigma.at[k].set(sigma),
-        bf_count=jnp.minimum(k + 1, s.bf_i.shape[0]),
+        bf_i=s.bf_i.at[k_w].set(slot_i.astype(jnp.int32), mode="drop"),
+        bf_j=s.bf_j.at[k_w].set(slot_j.astype(jnp.int32), mode="drop"),
+        bf_rel=s.bf_rel.at[k_w].set(rel, mode="drop"),
+        bf_sigma=s.bf_sigma.at[k_w].set(sigma, mode="drop"),
+        bf_count=k + ok.astype(jnp.int32),
+        overflow=s.overflow.at[7].add(1 - ok.astype(jnp.int32)),
     )

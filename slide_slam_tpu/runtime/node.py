@@ -524,6 +524,15 @@ class SlamNode:
             "points": int(self.state.pt_count),
         }
 
+    def overflow_report(self) -> Dict[str, int]:
+        """Capacity-overflow counters (dropped appends) by family. All-zero
+        means no silent truncation occurred; any nonzero value means the
+        CapacityConfig preset is too small for this mission."""
+        from ..factorgraph.graph import OVERFLOW_FIELDS
+        vals = np.asarray(self.state.overflow)
+        return {f"overflow_{name}": int(v)
+                for name, v in zip(OVERFLOW_FIELDS, vals)}
+
     # ------------------------------------------------------------------
     def compact_map(self, min_hits: Optional[int] = None) -> np.ndarray:
         """Vector7d rows [label, x, y, z, dim1, dim2, dim3]
@@ -596,3 +605,5 @@ class SlamNode:
             f.write(f"num_relative_factors: {self.num_rel_factors}\n")
             for k, v in comm.items():
                 f.write(f"{k}: {v:.6f}\n")
+            for k, v in self.overflow_report().items():
+                f.write(f"{k}: {v}\n")
