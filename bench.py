@@ -1,10 +1,19 @@
-"""Benchmark: end-to-end keyframe throughput of the SLAM engine on TPU.
+"""Benchmark: end-to-end SLAM engine performance on TPU.
 
-Replays a synthetic forest measurement log (the processed-bag-equivalent
-workload of BASELINE.md) through the full per-keyframe path — submap query,
-semantic data association, landmark/factor insertion, and the incremental
-Gauss-Newton solve (the reference's iSAM2 stage) — and reports steady-state
-keyframes/second.
+Phases (BASELINE.md protocol):
+1. solo     — single-robot keyframe throughput (headline kf/s) with ATE
+              anchors: dead-reckoning ATE, incremental-SLAM ATE, and the
+              full-batch converged-oracle ATE + gap (reference_solver.py).
+2. mission  — the reference's actual demo shape
+              (tmux_multi_robot_with_bags_forest.sh:50-83): 3 robots,
+              intermittent comm, intra-robot loop closure, inter-robot
+              map merge, relative inter-robot factors.
+3. pr       — SlideMatch full-grid + SlideGraph search time on the built
+              map (reference budget: 5-10 s anytime CPU cap, sloam.yaml:31).
+4. spmd     — decentralized multi-robot step as ONE jitted SPMD program.
+5. scale    — device-only solve time vs graph size up to the
+              demo_scale_capacity preset (2048 poses / 4096 cylinders),
+              with a FLOP estimate -> achieved GFLOP/s.
 
 Baseline: the reference's real-time budget is its 5 Hz main loop
 (sloam.yaml:12) with per-keyframe iSAM2 solves on CPU; `vs_baseline` is
@@ -18,8 +27,21 @@ import time
 import numpy as np
 
 
-def main():
+def _round(d, nd=3):
+    out = {}
+    for k, v in d.items():
+        if isinstance(v, float):
+            out[k] = round(v, nd)
+        elif isinstance(v, dict):
+            out[k] = _round(v, nd)
+        else:
+            out[k] = v
+    return out
+
+
+def bench_solo():
     from slide_slam_tpu.config import SlamConfig
+    from slide_slam_tpu.factorgraph import reference_solver as rs
     from slide_slam_tpu.io import synthetic
     from slide_slam_tpu.runtime.node import SlamNode
 
@@ -49,25 +71,121 @@ def main():
     kf_per_sec = len(kfs) / dt
 
     est = node.optimized_trajectory()
-    ate = synthetic.ate_rmse(est, traj[:len(est)], align=False)
-
-    pr = bench_place_recognition(node)
-    pr.update(bench_spmd(cfg))
-
-    result = {
-        "metric": "keyframes_per_sec",
-        "value": round(kf_per_sec, 2),
-        "unit": "kf/s",
-        "vs_baseline": round(kf_per_sec / 5.0, 2),
-        "extra": {
-            "n_keyframes": len(kfs),
-            "ate_rmse_m": round(float(ate), 4),
-            "landmarks": node.landmark_counts(),
-            "mean_step_ms": round(1000.0 * dt / len(kfs), 2),
-            **pr,
-        },
+    n = len(est)
+    truth = traj[:n]
+    ate_slam = synthetic.ate_rmse(est, truth, align=False)
+    odom = np.stack([kf.odom_pose for kf in log.keyframes[:n]])
+    ate_odom = synthetic.ate_rmse(odom, truth, align=False)
+    # converged full-batch oracle on the SAME factor graph (float64 LM,
+    # numerical Jacobians, sparse direct solve)
+    import jax
+    snap = jax.tree_util.tree_map(np.asarray, node.state)
+    t0 = time.perf_counter()
+    conv, info = rs.solve_reference(snap, cyl_sigma=cfg.noise.cylinder,
+                                    bearing_sigma=cfg.noise.bearing)
+    oracle_s = time.perf_counter() - t0
+    ate_conv = synthetic.ate_rmse(conv[:n].astype(np.float32), truth,
+                                  align=False)
+    gap = np.linalg.norm(conv[:n, 4:7] - est[:, 4:7].astype(np.float64),
+                         axis=1)
+    return node, {
+        "kf_per_sec": kf_per_sec,
+        "n_keyframes": len(kfs),
+        "mean_step_ms": 1000.0 * dt / len(kfs),
+        "ate_odom_m": float(ate_odom),
+        "ate_slam_m": float(ate_slam),
+        "ate_converged_m": float(ate_conv),
+        "incremental_vs_converged_rmse_m": float(np.sqrt(np.mean(gap ** 2))),
+        "oracle_solve_s": oracle_s,
+        "oracle_iters": info["iters"],
+        "landmarks": node.landmark_counts(),
     }
-    print(json.dumps(result))
+
+
+def _mission_relative_meas(logs, rng, max_dist=12.0, period=10):
+    """Synthetic AprilTag-style sightings: every `period` keyframes, if two
+    robots' true poses are within max_dist, the lower-id robot 'sees' the
+    other (relative_meas_gen/apriltag path)."""
+    from slide_slam_tpu.geometry import se3np
+    from slide_slam_tpu.runtime.scheduler import RelativeMeas
+
+    out = []
+    by_stamp = {}
+    for log in logs:
+        for kf in log.keyframes:
+            by_stamp.setdefault(round(kf.stamp, 3), {})[log.robot_id] = kf
+    for stamp, robots in sorted(by_stamp.items()):
+        ids = sorted(robots)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = robots[ids[i]], robots[ids[j]]
+                d = np.linalg.norm(a.true_pose[4:7] - b.true_pose[4:7])
+                if d < max_dist and int(stamp * 2) % period == 0:
+                    rel = se3np.between(a.true_pose, b.true_pose)
+                    rel[4:7] += rng.normal(0, 0.02, 3)
+                    out.append((ids[i], RelativeMeas(
+                        stamp=float(stamp), relative_pose=rel,
+                        robot_index=ids[j], odom_pose=a.odom_pose)))
+    return out
+
+
+def bench_mission():
+    """3-robot full mission: comm + intra-LC + inter-LC merge + relative
+    factors (the reference demo, tmux_multi_robot_with_bags_forest.sh)."""
+    import dataclasses
+
+    from slide_slam_tpu.config import SlamConfig, demo_scale_capacity
+    from slide_slam_tpu.io import synthetic
+    from slide_slam_tpu.runtime.mission import MultiRobotMission
+
+    cap = dataclasses.replace(demo_scale_capacity(), max_poses_per_robot=512)
+    cfg = SlamConfig(number_of_robots=3, capacity=cap)
+    rng = np.random.default_rng(7)
+    world = synthetic.make_forest_world(rng, n_trees=110, n_poles=18,
+                                        n_cars=12, extent=40.0)
+    # robot 0 drives a loop (revisits -> intra LC); robots 1/2 mow
+    # overlapping halves (shared objects -> inter LC merge)
+    trajs = [
+        synthetic.loop_trajectory(150, radius=24.0),
+        synthetic.lawnmower_trajectory(150, extent=32.0, rows=3, step=1.4),
+        synthetic.lawnmower_trajectory(150, extent=38.0, rows=4, step=1.4),
+    ]
+    logs = [synthetic.make_log(world, t, robot_id=r, seed=3 + r,
+                               odom_drift_sigma=0.012, pos_noise=0.03,
+                               dropout=0.1, yaw_drift_bias=0.0008)
+            for r, t in enumerate(trajs)]
+    rel = _mission_relative_meas(logs, rng)
+    mission = MultiRobotMission(cfg, logs, relative_meas=rel)
+    n_total = sum(len(l.keyframes) for l in logs)
+    t0 = time.perf_counter()
+    report = mission.run(intra_lc=True)
+    dt = time.perf_counter() - t0
+
+    ates_slam, ates_odom = [], []
+    for node, log, traj in zip(report.nodes, logs, trajs):
+        est = node.optimized_trajectory()
+        n = len(est)
+        ates_slam.append(synthetic.ate_rmse(est, traj[:n], align=False))
+        odom = np.stack([kf.odom_pose for kf in log.keyframes[:n]])
+        ates_odom.append(synthetic.ate_rmse(odom, traj[:n], align=False))
+    merged = sum(len(n.dbm.loop_closure_tf) for n in report.nodes)
+    overflow = {}
+    for n in report.nodes:
+        for k, v in n.overflow_report().items():
+            overflow[k] = overflow.get(k, 0) + v
+    return {
+        "mission_kf_per_sec": n_total / dt,
+        "mission_wall_s": dt,
+        "mission_robots": 3,
+        "ate_odom_m": float(np.mean(ates_odom)),
+        "ate_after_lc_m": float(np.mean(ates_slam)),
+        "intra_lc_attempts": sum(n.num_attempts_intra for n in report.nodes),
+        "intra_lc_successes": sum(n.num_success_intra for n in report.nodes),
+        "inter_lc_found": sum(n.num_success_inter for n in report.nodes),
+        "merged_robot_pairs": merged,
+        "relative_factors": sum(n.num_rel_factors for n in report.nodes),
+        "overflow_total": int(sum(overflow.values())),
+    }
 
 
 def bench_spmd(cfg):
@@ -105,8 +223,6 @@ def bench_place_recognition(node):
     capped at `compute_budget_sec` (5 s default, 10 s in sloam.yaml:31);
     here the WHOLE grid is one dense device kernel, so we report the full
     exhaustive-search wall time and the speedup vs that 5 s budget."""
-    import numpy as np
-
     ref_map = node.compact_map()
     if len(ref_map) < 10:
         return {}
@@ -138,6 +254,128 @@ def bench_place_recognition(node):
         "slidegraph_found": bool(sg_found),
         "pr_speedup_vs_5s_budget": round(5000.0 / max(slidematch_ms, 1e-3), 1),
     }
+
+
+def _fill_state(cfg, rng):
+    """Synthetically fill a GraphState to its capacities (a demo-scale
+    graph without replaying thousands of keyframes)."""
+    import jax.numpy as jnp
+    from slide_slam_tpu.factorgraph.graph import empty_state
+    from slide_slam_tpu.geometry import se3np
+
+    cap = cfg.capacity
+    P = cap.max_poses_per_robot
+    s = empty_state(cfg)
+    n_pose = P
+    # smooth chain
+    xs = np.cumsum(rng.normal(0.5, 0.05, n_pose))
+    ys = 3.0 * np.sin(xs / 20.0)
+    poses = np.stack([np.asarray(se3np.from_xyz_yaw(x, y, 0.5, 0.0))
+                      for x, y in zip(xs, ys)]).astype(np.float32)
+    rels = np.stack([np.asarray(se3np.identity())]
+                    + [se3np.between(poses[i - 1], poses[i])
+                       for i in range(1, n_pose)])
+    nc = cap.max_cylinders
+    roots = np.column_stack([rng.uniform(xs.min(), xs.max(), nc),
+                             rng.uniform(-20, 20, nc),
+                             np.zeros(nc)]).astype(np.float32)
+    f1 = cap.max_cylinder_factors
+    cf_pose = rng.integers(0, n_pose, f1)
+    cf_lm = rng.integers(0, nc, f1)
+    meas = np.zeros((f1, 7), np.float32)
+    for k in range(f1):
+        inv = se3np.inverse(poses[cf_pose[k]])
+        meas[k, 3:6] = se3np.apply(inv, roots[cf_lm[k]])
+        meas[k, 0:3] = se3np.rotate(inv, np.array([0, 0, 1.0], np.float32))
+        meas[k, 6] = 0.2
+    s = s._replace(
+        poses=s.poses.at[:n_pose].set(jnp.asarray(poses)),
+        keypose_xyz=s.keypose_xyz.at[:n_pose].set(jnp.asarray(poses[:, 4:7])),
+        odom_rel=s.odom_rel.at[:n_pose].set(jnp.asarray(rels)),
+        odom_sigma=s.odom_sigma.at[:n_pose].set(0.05),
+        pose_count=s.pose_count.at[0].set(n_pose),
+        prior_pose=s.prior_pose.at[0].set(jnp.asarray(poses[0])),
+        prior_valid=s.prior_valid.at[0].set(True),
+        cyl_root=jnp.asarray(roots),
+        cyl_radius=jnp.full((nc,), 0.2, jnp.float32),
+        cyl_count=jnp.int32(nc),
+        cf_pose=jnp.asarray(cf_pose, jnp.int32),
+        cf_lm=jnp.asarray(cf_lm, jnp.int32),
+        cf_meas=jnp.asarray(meas),
+        cf_count=jnp.int32(f1),
+    )
+    return s
+
+
+def _solve_flops(cfg, n_pose, n_cf, pcg_iters, outer_iters):
+    """Analytic FLOP estimate of the GN+PCG solve (einsum terms only).
+
+    Per factor per matvec: J v and J^T (J v) over the pose block [r,6] and
+    landmark block [r,d]; odometry factors have two [6,6] blocks."""
+    od = 2 * n_pose * (2 * 6 * 6) * 2          # Jv + JtJv, two blocks
+    cf = 2 * n_cf * (2 * 7 * 6 + 2 * 7 * 7)
+    per_matvec = od + cf
+    grad_diag = 2 * per_matvec                 # gradient + diagonal
+    lin = n_cf * 600 + n_pose * 800            # rough linearize cost
+    return outer_iters * (lin + grad_diag + pcg_iters * per_matvec)
+
+
+def bench_scale():
+    """Device-only incremental-solve time vs graph size (VERDICT #5/#2):
+    default capacity vs demo_scale_capacity (2048 poses, 4096 cylinders,
+    16k cylinder factors)."""
+    import dataclasses
+
+    import jax
+    from slide_slam_tpu.config import SlamConfig, demo_scale_capacity
+    from slide_slam_tpu.runtime import engine
+
+    rng = np.random.default_rng(2)
+    out = {}
+    for name, cfg in [
+        ("default", SlamConfig(number_of_robots=1)),
+        ("demo_scale", SlamConfig(number_of_robots=1,
+                                  capacity=demo_scale_capacity())),
+    ]:
+        s = _fill_state(cfg, rng)
+        s = engine.solve_incremental(cfg, s)       # compile + warm
+        jax.block_until_ready(s.poses)
+        n = 10
+        t0 = time.perf_counter()
+        for _ in range(n):
+            s = engine.solve_incremental(cfg, s)
+            jax.block_until_ready(s.poses)
+        ms = 1000.0 * (time.perf_counter() - t0) / n
+        sc = cfg.solver
+        flops = _solve_flops(cfg, cfg.capacity.max_poses_per_robot,
+                             cfg.capacity.max_cylinder_factors,
+                             sc.incremental_pcg_iterations,
+                             sc.incremental_outer_iterations)
+        out[f"solve_ms_{name}"] = round(ms, 2)
+        out[f"solve_gflops_{name}"] = round(flops / (ms / 1e3) / 1e9, 1)
+        out[f"graph_{name}"] = (f"{cfg.capacity.max_poses_per_robot}p/"
+                                f"{cfg.capacity.max_cylinder_factors}f")
+    return out
+
+
+def main():
+    node, solo = bench_solo()
+    pr = bench_place_recognition(node)
+    from slide_slam_tpu.config import SlamConfig
+    spmd = bench_spmd(SlamConfig(number_of_robots=3))
+    mission = bench_mission()
+    scale = bench_scale()
+
+    result = {
+        "metric": "keyframes_per_sec",
+        "value": round(solo["kf_per_sec"], 2),
+        "unit": "kf/s",
+        "vs_baseline": round(solo["kf_per_sec"] / 5.0, 2),
+        "extra": _round({**{k: v for k, v in solo.items()
+                            if k != "kf_per_sec"},
+                         **mission, **pr, **spmd, **scale}, 4),
+    }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

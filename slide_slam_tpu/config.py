@@ -97,9 +97,13 @@ def demo_scale_capacity() -> CapacityConfig:
 @dataclass(frozen=True)
 class SolverConfig:
     """Batched Levenberg-Marquardt + PCG (replaces iSAM2, graph.cpp:14-22)."""
-    max_outer_iterations: int = 8
-    pcg_max_iterations: int = 128
-    pcg_tol: float = 1e-6
+    # thorough (post-closure/merge) budget: tuned against the float64
+    # converged oracle (tests/test_solver_vs_reference.py) — after a strong
+    # loop closure, 16 outer x 256 PCG @ tol 1e-8 reaches the f32 plateau
+    # (~2 cm ATE gap to the optimum); 8 x 128 leaves ~6 cm
+    max_outer_iterations: int = 16
+    pcg_max_iterations: int = 256
+    pcg_tol: float = 1e-8
     init_lambda: float = 1e-4
     # Per-keyframe incremental solves warm-start from the previous estimate
     # and use smaller budgets (relinearize-once, like iSAM2's default path).
