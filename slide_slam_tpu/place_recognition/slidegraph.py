@@ -102,6 +102,13 @@ def run_semantic_clipper(reference_map: np.ndarray, query_map: np.ndarray,
     if len(pts_m) == 0:
         return False, None
     if len(pts_m) > max_associations:
+        # bounded like the reference's CLIPPER (affinity is O(A^2) memory);
+        # never silent: the cap and the drop count are logged
+        import logging
+        logging.getLogger(__name__).warning(
+            "slidegraph: %d putative associations exceed cap %d; "
+            "randomly subsampling (dropping %d)",
+            len(pts_m), max_associations, len(pts_m) - max_associations)
         keep = np.random.default_rng(seed).permutation(len(pts_m))[:max_associations]
         pts_m, pts_d = pts_m[keep], pts_d[keep]
 

@@ -62,12 +62,28 @@ class MatchResult(NamedTuple):
 
 def _pad_objects(objs: np.ndarray, n: int):
     objs = np.asarray(objs, np.float32).reshape(-1, 7)
-    k = min(len(objs), n)
+    if len(objs) > n:
+        raise ValueError(
+            f"map has {len(objs)} objects but kernel capacity is {n}; "
+            "use _bucket_capacity to auto-size (silent truncation forbidden)")
+    k = len(objs)
     out = np.zeros((n, 7), np.float32)
     out[:k] = objs[:k]
     mask = np.zeros((n,), bool)
     mask[:k] = True
     return jnp.asarray(out), jnp.asarray(mask)
+
+
+def _bucket_capacity(n: int, base: int) -> int:
+    """Smallest multiple of 128 >= max(n, base).
+
+    The reference searches the FULL map under a time budget
+    (place_recognition.cpp:148-196); truncating a map would silently
+    change the answer, so instead the kernel capacity is bucketed —
+    each new bucket costs one extra XLA compile, after which every map
+    up to that size reuses it."""
+    need = max(n, base)
+    return ((need + 127) // 128) * 128
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "ignore_dimension"))
@@ -185,19 +201,24 @@ def _slidematch_kernel(
     pair_ok_static = (label_eq & dim_ok
                       & ref_mask[None, :] & qry_mask[:, None])        # [Q,M]
 
-    def exact_count(c3):
+    def exact_match(c3):
         cth, sth = jnp.cos(c3[2]), jnp.sin(c3[2])
         qx = cth * qry_xy[:, 0] - sth * qry_xy[:, 1] + c3[0]
         qy = sth * qry_xy[:, 0] + cth * qry_xy[:, 1] + c3[1]
         d2 = ((qx[:, None] - ref_xy[None, :, 0]) ** 2
               + (qy[:, None] - ref_xy[None, :, 1]) ** 2)              # [Q,M]
-        match = pair_ok_static & (jnp.sqrt(d2) < thresh)
-        return jnp.sum(jnp.any(match, axis=1).astype(jnp.int32)), match
+        return pair_ok_static & (jnp.sqrt(d2) < thresh)
 
-    exact_counts, matches = jax.lax.map(exact_count, cand)
+    def exact_count(c3):
+        # counts only: keeps lax.map's stacked output at [K] instead of
+        # materializing all K [Q,M] match matrices
+        match = exact_match(c3)
+        return jnp.sum(jnp.any(match, axis=1).astype(jnp.int32))
+
+    exact_counts = jax.lax.map(exact_count, cand)
     best = jnp.argmax(exact_counts)
     best_c = cand[best]
-    best_match = matches[best]                                         # [Q,M]
+    best_match = exact_match(best_c)                                   # [Q,M]
 
     has_match = jnp.any(best_match, axis=1)                            # [Q]
     first_m = jnp.argmax(best_match, axis=1)                           # [Q]
@@ -308,10 +329,15 @@ class PlaceRecognition:
 
         yaws = _yaw_candidates(yaw_half, yaw_step, cfg.disable_yaw_search,
                                self.dims.n_yaw)
-        ref_p, ref_m = _pad_objects(reference_objects, self.dims.max_objects)
-        qry_p, qry_m = _pad_objects(query_objects, self.dims.max_objects)
+        import dataclasses as _dc
+        cap = _bucket_capacity(max(len(reference_objects), len(query_objects)),
+                               self.dims.max_objects)
+        dims = (self.dims if cap == self.dims.max_objects
+                else _dc.replace(self.dims, max_objects=cap))
+        ref_p, ref_m = _pad_objects(reference_objects, dims.max_objects)
+        qry_p, qry_m = _pad_objects(query_objects, dims.max_objects)
         res = _slidematch_kernel(
-            self.dims, ref_p, ref_m, qry_p, qry_m, jnp.asarray(yaws),
+            dims, ref_p, ref_m, qry_p, qry_m, jnp.asarray(yaws),
             jnp.float32(half_x), jnp.float32(half_y),
             jnp.float32(cfg.search_xy_step_size),
             jnp.float32(cfg.match_threshold_position),
