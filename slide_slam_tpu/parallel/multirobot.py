@@ -88,25 +88,30 @@ def build_spmd_step(cfg: SlamConfig, mesh: Mesh, axis: str = "robot"):
 
     def local_step(state: SpmdState, packets: KeyframePacket) -> SpmdState:
         # leading dim on this device: robots_local (R / n_devices)
-        def per_robot(graph, my_tf_vals, my_tf_valid, my_rid, all_packets):
-            # 1. own keyframe (solve deferred until after peer folding)
-            my_packet = jax.tree_util.tree_map(
-                lambda a: a[my_rid], all_packets)
-            graph = _fold_packet(cfg, graph, my_rid, my_packet,
-                                 se3.identity(), noise_odom, noise_cube)
-            # 2. fold peers with known TF (streamed merge)
-            for peer in range(R):
-                peer_packet = jax.tree_util.tree_map(
-                    lambda a: a[peer], all_packets)
-                known = my_tf_valid[peer] & (peer != my_rid)
+        def per_robot(graph, my_tf_vals, my_tf_valid, all_packets):
+            # One lax.scan over ALL R keyframe packets: the fold body is
+            # traced ONCE regardless of R, so program size stays O(1) in
+            # the robot count (MAX_NUM_ROBOTS=13, graph.h:11). The own
+            # keyframe is the diagonal entry (tf=identity, always valid);
+            # peers fold only once their TF is known — streamed merge,
+            # replacing the reference's bookmark replay
+            # (sloamNode.cpp:912-1008).
+            def body(g, inp):
+                pid, packet, tf, known = inp
+                g = jax.lax.cond(
+                    known,
+                    lambda gg: _fold_packet(cfg, gg, pid, packet, tf,
+                                            noise_odom, noise_cube),
+                    lambda gg: gg, g)
+                return g, None
 
-                def fold(g, pp=peer_packet, p=peer):
-                    return _fold_packet(cfg, g, p, pp, my_tf_vals[p],
-                                        noise_odom, noise_cube)
-
-                graph = jax.lax.cond(known, fold, lambda g: g, graph)
-            # 3. one incremental solve over the merged graph
-            return engine.solve_full(cfg, graph)
+            xs = (jnp.arange(R, dtype=jnp.int32), all_packets,
+                  my_tf_vals, my_tf_valid)
+            graph, _ = jax.lax.scan(body, graph, xs)
+            # one *incremental* solve over the merged graph (the per-step
+            # budget; full solves stay host-triggered like the reference's
+            # LC threads)
+            return engine.solve_incremental(cfg, graph)
 
         # all_gather packets and TF tables across the robot axis
         all_packets = jax.tree_util.tree_map(
@@ -114,28 +119,25 @@ def build_spmd_step(cfg: SlamConfig, mesh: Mesh, axis: str = "robot"):
         all_tf_vals = jax.lax.all_gather(state.tf_vals, axis, tiled=True)
         all_tf_valid = jax.lax.all_gather(state.tf_valid, axis, tiled=True)
 
-        # TF gossip: one transitive hop — if I know B and B knows C then I
-        # learn C via composition (databaseManager.cpp:167-187)
+        # TF gossip, one transitive hop: if I know B and B knows C then I
+        # learn C = my_tf[B] ∘ tf_B[C] (databaseManager.cpp:167-187).
+        # Vectorized over (B, C) — O(R^2) compute, O(1) program size.
         def gossip(my_vals, my_valid):
-            new_vals, new_valid = my_vals, my_valid
-            for b in range(R):
-                know_b = my_valid[b]
-                for c in range(R):
-                    b_knows_c = all_tf_valid[b, c]
-                    candidate = se3.compose(my_vals[b], all_tf_vals[b, c])
-                    take = know_b & b_knows_c & (~new_valid[c])
-                    new_vals = new_vals.at[c].set(
-                        jnp.where(take, candidate, new_vals[c]))
-                    new_valid = new_valid.at[c].set(new_valid[c] | take)
-            return new_vals, new_valid
+            cand = jax.vmap(lambda vb, row:
+                            jax.vmap(lambda t: se3.compose(vb, t))(row)
+                            )(my_vals, all_tf_vals)          # [R,R,7]
+            ok = my_valid[:, None] & all_tf_valid            # [R,R] via B
+            any_ok = jnp.any(ok, axis=0)                     # [R] per C
+            b_star = jnp.argmax(ok, axis=0)                  # first valid B
+            new_c = cand[b_star, jnp.arange(R)]              # [R,7]
+            take = any_ok & (~my_valid)
+            new_vals = jnp.where(take[:, None], new_c, my_vals)
+            return new_vals, my_valid | take
 
-        n_local = state.tf_valid.shape[0]
-        rid0 = jax.lax.axis_index(axis) * n_local
-        rids = rid0 + jnp.arange(n_local)
         tf_vals, tf_valid = jax.vmap(gossip)(state.tf_vals, state.tf_valid)
         graph = jax.vmap(
-            lambda g, tv, tm, rid: per_robot(g, tv, tm, rid, all_packets)
-        )(state.graph, tf_vals, tf_valid, rids)
+            lambda g, tv, tm: per_robot(g, tv, tm, all_packets)
+        )(state.graph, tf_vals, tf_valid)
         return SpmdState(graph, tf_vals, tf_valid)
 
     def jitted(state: SpmdState, packets: KeyframePacket) -> SpmdState:
