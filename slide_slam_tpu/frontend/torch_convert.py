@@ -109,6 +109,24 @@ def load_torch_weights_into_flax(variables: dict,
     return variables, n
 
 
+def load_head_conv(variables: dict, weight: np.ndarray, bias: np.ndarray,
+                   path=("Conv_0",)) -> dict:
+    """Load the biased classification-head conv (1x1, no BN — the flax
+    RangeSegmentator's top-level Conv_0, segmentation.py:99) from torch
+    OIHW weight + bias. Returns new variables."""
+    import copy
+
+    variables = copy.deepcopy(jax_to_numpy(variables))
+    leaf = _get(variables["params"], path)
+    w = torch_conv_to_flax(np.asarray(weight))
+    if leaf["kernel"].shape != w.shape:
+        raise ValueError(f"head shape mismatch: {leaf['kernel'].shape} "
+                         f"vs {w.shape}")
+    leaf["kernel"] = w.astype(np.float32)
+    leaf["bias"] = np.asarray(bias, np.float32)
+    return variables
+
+
 def _get(tree, path):
     node = tree
     for p in path:
