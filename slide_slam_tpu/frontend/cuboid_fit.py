@@ -6,11 +6,15 @@ over padded instance tensors [I, P, 3]:
 
 * axis-aligned bbox seeding (`fit_bbox_seeds` == fit_cuboid:175-208),
 * PCA-oriented cuboid (`fit_cuboids`): principal 2D direction (closed-form
-  2x2 eigenvector instead of sklearn PCA; the reference's convex-hull
-  pre-filter before PCA is omitted — a documented deviation that changes the
-  PCA weighting slightly), yaw constrained to [0, pi), 1/99-percentile
-  extents, per-class dimension gates, optional car-facing-direction flip from
-  the front/rear height profile (:131-215).
+  2x2 eigenvector instead of sklearn PCA) over the instance's convex-hull
+  outline (cuboid_detection:80-90; here a fixed-shape batched hull: the set
+  of extreme points over N_HULL_DIRS support directions — exact hull
+  vertices up to angular resolution, no data-dependent shapes), yaw
+  constrained to [0, pi), 1/99-percentile extents, per-class dimension
+  gates, optional car-facing-direction flip from the front/rear height
+  profile (:131-215),
+* `cluster_cuboid_orientation`: host-side 2-means yaw snapping of the final
+  cuboid set (cuboid_utils_outdoor.py:211-330) for parking-lot-style scenes.
 """
 from __future__ import annotations
 
@@ -54,16 +58,45 @@ def fit_bbox_seeds(points: jnp.ndarray, mask: jnp.ndarray,
     return xc, yc, length, width, ok
 
 
-@functools.partial(jax.jit, static_argnames=("estimate_facing_dir",))
+N_HULL_DIRS = 64
+
+
+def _hull_vertex_mask(points: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """[I, P] mask of convex-hull vertices of each instance's XY point set,
+    approximated as the extreme points over N_HULL_DIRS support directions
+    (every hull vertex is extreme in some direction; 64 directions resolve
+    vertices to ~5.6 deg). Fixed-shape batched stand-in for the reference's
+    open3d compute_convex_hull (cuboid_detection:80-87)."""
+    ang = jnp.linspace(0.0, 2.0 * jnp.pi, N_HULL_DIRS, endpoint=False)
+    dirs = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)       # [K,2]
+    proj = jnp.einsum("ipd,kd->ikp", points[..., :2], dirs)       # [I,K,P]
+    proj = jnp.where(mask[:, None, :], proj, -jnp.inf)
+    arg = jnp.argmax(proj, axis=-1)                               # [I,K]
+    out = jnp.zeros(mask.shape, bool)
+    return out.at[jnp.arange(mask.shape[0])[:, None], arg].set(True) & mask
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("estimate_facing_dir", "use_convex",
+                                    "minmax_extents"))
 def fit_cuboids(points: jnp.ndarray, mask: jnp.ndarray,
                 dim_lo: jnp.ndarray, dim_hi: jnp.ndarray,
-                estimate_facing_dir: bool = False) -> CuboidFit:
+                estimate_facing_dir: bool = False,
+                use_convex: bool = True,
+                minmax_extents: bool = False) -> CuboidFit:
     """points [I, P, 3] (world frame), mask [I, P]; dim_lo/hi [I, 3] per-
-    instance (length, width, height) gates from the class config."""
-    cnt = jnp.maximum(jnp.sum(mask, axis=-1), 1)
-    mean_xy = (jnp.sum(jnp.where(mask[..., None], points[..., :2], 0.0),
+    instance (length, width, height) gates from the class config.
+
+    With use_convex (the reference's default, cuboid_detection use_convex
+    arg) the PCA direction is fit on the hull outline so interior point
+    density does not bias the orientation; extents/centroid still use all
+    points (exactly like the reference)."""
+    pca_mask = _hull_vertex_mask(points, mask) if use_convex else mask
+    cnt = jnp.maximum(jnp.sum(pca_mask, axis=-1), 1)
+    mean_xy = (jnp.sum(jnp.where(pca_mask[..., None], points[..., :2], 0.0),
                        axis=1) / cnt[:, None])
-    d = jnp.where(mask[..., None], points[..., :2] - mean_xy[:, None, :], 0.0)
+    d = jnp.where(pca_mask[..., None], points[..., :2] - mean_xy[:, None, :],
+                  0.0)
     cxx = jnp.sum(d[..., 0] * d[..., 0], axis=1)
     cyy = jnp.sum(d[..., 1] * d[..., 1], axis=1)
     cxy = jnp.sum(d[..., 0] * d[..., 1], axis=1)
@@ -76,9 +109,15 @@ def fit_cuboids(points: jnp.ndarray, mask: jnp.ndarray,
     yp = jnp.einsum("ipd,id->ip", points[..., :2], y_axis)
     zp = points[..., 2]
 
-    x99, x01 = _masked_percentile(xp, mask, 99), _masked_percentile(xp, mask, 1)
-    y99, y01 = _masked_percentile(yp, mask, 99), _masked_percentile(yp, mask, 1)
-    z99, z01 = _masked_percentile(zp, mask, 99), _masked_percentile(zp, mask, 1)
+    # outdoor uses robust 1/99-percentile extents (cuboid_detection:160-170);
+    # the indoor variant uses exact min/max (cuboid_detection_indoor:133-146)
+    q_hi, q_lo = (100.0, 0.0) if minmax_extents else (99.0, 1.0)
+    x99, x01 = (_masked_percentile(xp, mask, q_hi),
+                _masked_percentile(xp, mask, q_lo))
+    y99, y01 = (_masked_percentile(yp, mask, q_hi),
+                _masked_percentile(yp, mask, q_lo))
+    z99, z01 = (_masked_percentile(zp, mask, q_hi),
+                _masked_percentile(zp, mask, q_lo))
     length, width, height = x99 - x01, y99 - y01, z99 - z01
 
     cen_pca = jnp.stack([0.5 * (x99 + x01), 0.5 * (y99 + y01),
@@ -107,3 +146,55 @@ def fit_cuboids(points: jnp.ndarray, mask: jnp.ndarray,
     ok = (jnp.all(dims > dim_lo, axis=-1) & jnp.all(dims < dim_hi, axis=-1)
           & (jnp.sum(mask, axis=-1) > 3))
     return CuboidFit(centroid=cen_world, dims=dims, yaw=yaw, valid=ok)
+
+
+def cluster_cuboid_orientation(yaws) -> "jnp.ndarray":
+    """Snap cuboid yaws to the scene's two dominant orthogonal directions
+    (cluster_cuboid_orientation, cuboid_utils_outdoor.py:211-305): 2-means
+    over yaws folded into [-pi/4, 3pi/4), centers merged if < 45 deg apart
+    (size-weighted), the runner-up center forced orthogonal to the winner,
+    then every yaw snapped to its nearest center under the 180-deg-
+    ambiguous angle metric. Host-side finalization over the (small) final
+    cuboid list, like the reference's pre-publish hook
+    (publish_cuboid_markers:318-322).
+    """
+    import numpy as np
+
+    yaws = np.asarray(yaws, np.float64)
+    n = len(yaws)
+    if n <= 2:                      # "Not enough cuboids" (ref :304-306)
+        return yaws
+    folded = yaws.copy()
+    folded[folded < -np.pi / 4] += np.pi
+    folded[folded > 3 * np.pi / 4] -= np.pi
+
+    try:
+        from sklearn.cluster import KMeans
+        km = KMeans(n_clusters=2, random_state=0, n_init=10).fit(
+            folded.reshape(-1, 1))
+        centers = km.cluster_centers_.ravel()
+        labels = km.labels_
+    except ImportError:             # deterministic 2-means fallback
+        centers = np.array([folded.min(), folded.max()])
+        for _ in range(20):
+            labels = np.argmin(np.abs(folded[:, None] - centers[None, :]),
+                               axis=1)
+            for k in range(2):
+                if np.any(labels == k):
+                    centers[k] = folded[labels == k].mean()
+    sizes = np.array([(labels == 0).sum(), (labels == 1).sum()])
+
+    if abs(centers[0] - centers[1]) < np.pi / 4:        # merge (ref :249-256)
+        merged = (centers * sizes).sum() / sizes.sum()
+        main = merged
+    else:
+        main = centers[int(np.argmax(sizes))]
+    ortho = main + np.pi / 2
+    if ortho > 3 * np.pi / 4:
+        ortho -= np.pi
+    cc = np.array([main, ortho])
+
+    diff = np.abs(cc[None, :] - folded[:, None])        # [n, 2]
+    diff = np.where(diff > np.pi / 2, np.pi - diff, diff)
+    snapped = cc[np.argmin(diff, axis=1)]
+    return snapped.astype(np.asarray(yaws).dtype)

@@ -72,6 +72,9 @@ class PipelineConfig:
     default_radius: float = 0.2
     radius_cutoff: tuple = (0.05, 1.0)
     downsample_res: float = 0.15
+    # cuboid finalization flags (process_cloud_node_outdoor.py:119-122)
+    estimate_facing_dir_car: bool = False
+    cluster_and_fix_cuboid_orientation: bool = True
 
 
 class ProcessCloudPipeline:
@@ -217,12 +220,21 @@ class ProcessCloudPipeline:
         fits = cuboid_fit.fit_cuboids(
             jnp.asarray(np.stack(pads)), jnp.asarray(np.stack(masks)),
             jnp.asarray(np.asarray(lo, np.float32)),
-            jnp.asarray(np.asarray(hi, np.float32)))
+            jnp.asarray(np.asarray(hi, np.float32)),
+            estimate_facing_dir=cfg.estimate_facing_dir_car)
+        yaws = np.asarray(fits.yaw, np.float64)
+        if cfg.cluster_and_fix_cuboid_orientation:
+            # snap the VALID cuboids' yaws to the scene's dominant
+            # orthogonal directions (publish_cuboid_markers:318-322)
+            vmask = np.asarray(fits.valid)
+            if vmask.sum() > 2:
+                yaws[vmask] = cuboid_fit.cluster_cuboid_orientation(
+                    yaws[vmask])
         for i, t in enumerate(tracks):
             if bool(fits.valid[i]):
                 pose = np.asarray(se3.from_xyz_yaw(
                     float(fits.centroid[i, 0]), float(fits.centroid[i, 1]),
-                    float(fits.centroid[i, 2]), float(fits.yaw[i])), np.float32)
+                    float(fits.centroid[i, 2]), float(yaws[i])), np.float32)
                 obs["cub_pose"].append(pose)
                 obs["cub_scale"].append(np.asarray(fits.dims[i]))
                 obs["cub_label"].append(t.class_label)

@@ -136,3 +136,11 @@ class MultiClassTracker:
         cuboid_utils_outdoor.py:21-46)."""
         return [t for t in self.tracks
                 if t.age > age_threshold_per_label.get(t.class_label, 1)]
+
+    def expire(self, scan_idx: int, num_lost_track_times_thresh: int):
+        """Drop tracks not updated for N scans — bounds computation and
+        keeps measurements local so they don't accumulate odometry drift
+        (process_cloud_node_lidar_indoor.py:599-612)."""
+        self.tracks = [
+            t for t in self.tracks
+            if scan_idx - t.last_update_scan_idx <= num_lost_track_times_thresh]

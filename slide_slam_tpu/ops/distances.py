@@ -60,5 +60,39 @@ def cuboid_pairwise(a: Cuboids, b: Cuboids) -> jnp.ndarray:
     return centroid_pairwise(a, b, label_gate=False)
 
 
+def cuboid_weighted_pairwise(a: Cuboids, b: Cuboids,
+                             dim_weight: float = 0.5) -> jnp.ndarray:
+    """[Na, Nb] weightedDistance (cube.cpp:46-58): label-gated blend of
+    centroid L2 and scale-difference norm / 3."""
+    pa, pb = a.centroid(), b.centroid()
+    pos = jnp.linalg.norm(pa[:, None, :] - pb[None, :, :], axis=-1)
+    sc = jnp.linalg.norm(a.scale[:, None, :] - b.scale[None, :, :],
+                         axis=-1) / 3.0
+    d = (1.0 - dim_weight) * pos + dim_weight * sc
+    ok = (a.valid[:, None] & b.valid[None, :]
+          & (a.label[:, None] == b.label[None, :]))
+    return jnp.where(ok, d, BIG)
+
+
+def cuboid_iou_pairwise(a: Cuboids, b: Cuboids) -> jnp.ndarray:
+    """[Na, Nb] axis-aligned IoU (cube.cpp:60-82): boxes are centroid ±
+    scale/2 (orientation ignored, exactly like the reference). 0 where
+    either entry is invalid."""
+    lo_a = a.centroid() - a.scale / 2.0
+    hi_a = a.centroid() + a.scale / 2.0
+    lo_b = b.centroid() - b.scale / 2.0
+    hi_b = b.centroid() + b.scale / 2.0
+    overlap = jnp.maximum(
+        0.0, (jnp.minimum(hi_a[:, None, :], hi_b[None, :, :])
+              - jnp.maximum(lo_a[:, None, :], lo_b[None, :, :])))
+    inter = jnp.prod(overlap, axis=-1)
+    vol_a = jnp.prod(a.scale, axis=-1)
+    vol_b = jnp.prod(b.scale, axis=-1)
+    union = vol_a[:, None] + vol_b[None, :] - inter
+    iou = inter / jnp.where(union > 0, union, 1.0)
+    ok = a.valid[:, None] & b.valid[None, :]
+    return jnp.where(ok, iou, 0.0)
+
+
 def ellipsoid_pairwise(a: Ellipsoids, b: Ellipsoids) -> jnp.ndarray:
     return centroid_pairwise(a, b, label_gate=True)

@@ -343,3 +343,74 @@ class TestSegmentation:
         x[..., 0] = 5.0     # valid range everywhere
         labels = seg.segment_with_crf(model, params, jnp.asarray(x), iters=1)
         assert labels.shape == (1, 16, 64)
+
+
+class TestCuboidFinalization:
+    """Convex-hull PCA prefilter + yaw clustering
+    (cuboid_utils_outdoor.py:80-90, 211-305)."""
+
+    def test_hull_prefilter_resists_interior_density_bias(self):
+        """A dense off-axis interior blob must not tilt the PCA direction
+        when fitting on the hull outline (the reference's use_convex)."""
+        rng = np.random.default_rng(7)
+        yaw = 0.5
+        pts = synth_box_points(rng, [0, 0, 0.75], [4.4, 1.8, 1.5], yaw,
+                               400).astype(np.float32)
+        # diagonal interior blob (as if one corner reflected many returns)
+        t = rng.uniform(0, 1, 600)
+        blob = np.stack([3.0 * t - 1.5, 2.0 * t - 1.0,
+                         rng.uniform(0, 1.5, 600)], 1)
+        c, s = np.cos(yaw), np.sin(yaw)
+        blob[:, :2] = blob[:, :2] @ np.array([[c, s], [-s, c]]) * 0.4
+        allp = np.vstack([pts, blob.astype(np.float32)])
+        pad = np.zeros((2048, 3), np.float32)
+        pad[:len(allp)] = allp
+        mask = np.zeros(2048, bool)
+        mask[:len(allp)] = True
+        fit = cuboid_fit.fit_cuboids(
+            jnp.asarray(pad)[None], jnp.asarray(mask)[None],
+            jnp.asarray([[2.0, 1.0, 0.8]]), jnp.asarray([[7.0, 3.0, 2.5]]),
+            use_convex=True)
+        dyaw = abs(float(fit.yaw[0]) - yaw) % np.pi
+        assert min(dyaw, np.pi - dyaw) < 0.07
+
+    def test_hull_mask_selects_outline(self):
+        rng = np.random.default_rng(8)
+        pts = np.zeros((1, 256, 3), np.float32)
+        pts[0, :, :2] = rng.normal(0, 1, (256, 2))
+        mask = np.ones((1, 256), bool)
+        hm = np.asarray(cuboid_fit._hull_vertex_mask(
+            jnp.asarray(pts), jnp.asarray(mask)))[0]
+        # far fewer hull vertices than points, and every hull vertex is
+        # extreme: its projection on some direction is the max
+        assert 3 <= hm.sum() <= cuboid_fit.N_HULL_DIRS
+        r = np.linalg.norm(pts[0, :, :2], axis=1)
+        assert hm[np.argmax(r)]          # farthest point is always on hull
+
+    def test_cluster_cuboid_orientation_snaps_to_two_orthogonal(self):
+        rng = np.random.default_rng(9)
+        main = 0.3
+        yaws = np.concatenate([
+            main + rng.normal(0, 0.05, 12),                 # dominant row
+            main + np.pi / 2 + rng.normal(0, 0.05, 5),      # cross row
+        ])
+        snapped = cuboid_fit.cluster_cuboid_orientation(yaws)
+        uniq = np.unique(np.round(snapped, 6))
+        assert len(uniq) == 2
+        d = abs(uniq[0] - uniq[1]) % np.pi
+        assert np.isclose(min(d, np.pi - d), np.pi / 2, atol=1e-6)
+        # dominant cluster center near the true main direction
+        assert min(abs(uniq - main)) < 0.1
+
+    def test_cluster_orientation_small_n_passthrough(self):
+        y = np.array([0.3, 1.2])
+        np.testing.assert_array_equal(
+            cuboid_fit.cluster_cuboid_orientation(y), y)
+
+    def test_cluster_orientation_merges_close_centers(self):
+        rng = np.random.default_rng(10)
+        yaws = 0.4 + rng.normal(0, 0.03, 10)   # one direction only
+        snapped = cuboid_fit.cluster_cuboid_orientation(yaws)
+        uniq = np.unique(np.round(snapped, 6))
+        assert len(uniq) == 1                  # all snap to the merged center
+        assert abs(uniq[0] - 0.4) < 0.05
