@@ -167,6 +167,47 @@ def keyframe_step(
                           do_solve, odom_noise, cube_noise, enable_solve)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg",),
+    donate_argnames=("state",),
+)
+def replay_batch(
+    cfg: SlamConfig,
+    state: GraphState,
+    robot_id: jnp.ndarray,          # int32 scalar: the PEER whose chain grows
+    poses_and_rels: jnp.ndarray,    # [N, 2, 7] (pose in ref frame, rel odom)
+    packed_scans: jnp.ndarray,      # [N, S, 33]
+    valid: jnp.ndarray,             # [N] bool — padding rows are no-ops
+    odom_noise: jnp.ndarray,
+    cube_noise: jnp.ndarray,
+):
+    """Fold a CHUNK of peer keyframes in ONE device dispatch.
+
+    The reference's bookmark replay (sloamNode.cpp:912-1008) adds peer
+    keyframes one at a time; a per-keyframe dispatch from the host would pay
+    one tunnel round-trip each. Here the chunk rides a single `lax.scan`
+    whose body is the DA+insert step (no solve); the caller runs ONE solve
+    after all chunks. Chunks are padded to a fixed N so one compiled program
+    serves every replay length."""
+    def body(s, inp):
+        par, packed, ok = inp
+        cyl, cub, ell = unpack_scan(packed)
+
+        def run(st):
+            st2, _ = _keyframe_body(
+                cfg, st, robot_id, par[0], par[1], cyl, cub, ell,
+                jnp.asarray(False), jnp.asarray(False),
+                odom_noise, cube_noise, enable_solve=False)
+            return st2
+
+        return jax.lax.cond(ok, run, lambda st: st, s), None
+
+    state, _ = jax.lax.scan(body, state,
+                            (poses_and_rels, packed_scans, valid))
+    return state
+
+
 def _keyframe_body(cfg, state, robot_id, pose_estimate, rel_odom, scan_cyl,
                    scan_cub, scan_ell, drop_detections, do_solve, odom_noise,
                    cube_noise, enable_solve):

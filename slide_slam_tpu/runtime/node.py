@@ -266,7 +266,16 @@ class SlamNode:
     # ------------------------------------------------------------------
     # Multi-robot merge (sloamNode.cpp:912-1008)
     # ------------------------------------------------------------------
+    REPLAY_CHUNK = 32
+
     def replay_peers(self):
+        """Fold pending peer keyframes into the local graph
+        (sloamNode.cpp:912-1008). Batched: keyframes are packed on the host
+        into fixed-size chunks and each chunk is ONE `engine.replay_batch`
+        dispatch (a lax.scan over the chunk), so replaying a long peer
+        history costs ceil(n/32) dispatches + one solve — not n."""
+        C = self.REPLAY_CHUNK
+        S = self.cfg.capacity.max_scan_objects
         for rid, rec in self.dbm.records.items():
             if rid == self.robot_id:
                 continue
@@ -276,12 +285,27 @@ class SlamNode:
             n = len(rec.packets)
             if rec.bookmark_fg >= n:
                 continue
-            for i in range(rec.bookmark_fg, n):
-                p = rec.packets[i]
-                pose_in_ref = se3np.compose(tf, p.key_pose)
-                self._step(rid, pose_in_ref, p.rel_odom, p, drop=False,
-                           solve=False)
+            t0 = time.perf_counter()
+            pending = rec.packets[rec.bookmark_fg:n]
+            for lo in range(0, len(pending), C):
+                chunk = pending[lo:lo + C]
+                k = len(chunk)
+                par = np.zeros((C, 2, 7), np.float32)
+                par[:, :, 0] = 1.0   # identity quats on padding rows
+                packed = np.zeros((C, S, 33), np.float32)
+                for i, p in enumerate(chunk):
+                    par[i, 0] = se3np.compose(tf, p.key_pose)
+                    par[i, 1] = p.rel_odom
+                    packed[i] = self._pack_obs(p)
+                ok = np.arange(C) < k
+                self.state = engine.replay_batch(
+                    self.cfg, self.state, jnp.int32(rid), jnp.asarray(par),
+                    jnp.asarray(packed), jnp.asarray(ok),
+                    self._noise_odom, self._noise_cube)
+            self.data_association_time.append(time.perf_counter() - t0)
+            t1 = time.perf_counter()
             self.state = engine.solve_full(self.cfg, self.state)
+            self.fg_time.append(time.perf_counter() - t1)
             rec.bookmark_fg = n
 
     # ------------------------------------------------------------------
