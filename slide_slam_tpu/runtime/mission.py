@@ -21,6 +21,7 @@ from ..io.synthetic import RobotLog
 from ..place_recognition.slidematch import SlideMatchDims
 from . import scheduler
 from .node import SlamNode
+from .profiling import phase
 
 
 @dataclass
@@ -112,6 +113,10 @@ class MultiRobotMission:
     def _exchange(self, now: float):
         """All-to-all bundle exchange (databaseManager.cpp:219-279 + the
         per-robot subscriptions :57-60)."""
+        with phase("comm_exchange"):
+            self._exchange_inner(now)
+
+    def _exchange_inner(self, now: float):
         all_bundles = []
         for n in self.nodes:
             if n.dbm.should_communicate(now):

@@ -23,6 +23,7 @@ from ..objects import Cuboids, Cylinders, Ellipsoids, pad_boxlike, pad_cylinders
 from ..place_recognition.slidegraph import SlideGraph
 from ..place_recognition.slidematch import PlaceRecognition, SlideMatchDims
 from . import engine, scheduler
+from .profiling import maybe_block, phase, phase_add
 
 
 def _np(x):
@@ -145,8 +146,10 @@ class SlamNode:
                     break
                 t0 = time.perf_counter()
                 arr = _np(arr)
+                dt = time.perf_counter() - t0
+                phase_add("pose_fetch", dt)
                 if i < len(self.fg_time):
-                    self.fg_time[i] += time.perf_counter() - t0
+                    self.fg_time[i] += dt
                 self.key_poses[i] = arr
             self._xyz_hist.append(np.asarray(arr[4:7]))
             self._n_materialized += 1
@@ -215,7 +218,8 @@ class SlamNode:
         host transfer already enqueued — consumed by _sync_poses with a
         bounded lag so dispatch, device compute, and the tunnel's ~27 ms
         fetch round-trip pipeline across consecutive keyframes."""
-        packed = self._pack_obs(packet)
+        with phase("kf_host_pack"):
+            packed = self._pack_obs(packet)
         odom_and_rel = np.stack([np.asarray(odom_pose, np.float32),
                                  np.asarray(rel, np.float32)])
         sc = self.cfg.solver
@@ -230,11 +234,14 @@ class SlamNode:
             self._noise_odom, self._noise_cube,
         )
         pose = out.pose
+        maybe_block(pose)
         try:
             pose.copy_to_host_async()
         except AttributeError:
             pass
-        self.fg_time.append(time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        self.fg_time.append(dt)
+        phase_add("kf_dispatch", dt)
         return pose
 
     def _step(self, robot_id: int, pose_est, rel, packet: PoseMstPair,
@@ -290,21 +297,26 @@ class SlamNode:
             for lo in range(0, len(pending), C):
                 chunk = pending[lo:lo + C]
                 k = len(chunk)
-                par = np.zeros((C, 2, 7), np.float32)
-                par[:, :, 0] = 1.0   # identity quats on padding rows
-                packed = np.zeros((C, S, 33), np.float32)
-                for i, p in enumerate(chunk):
-                    par[i, 0] = se3np.compose(tf, p.key_pose)
-                    par[i, 1] = p.rel_odom
-                    packed[i] = self._pack_obs(p)
+                with phase("replay_pack"):
+                    par = np.zeros((C, 2, 7), np.float32)
+                    par[:, :, 0] = 1.0   # identity quats on padding rows
+                    packed = np.zeros((C, S, 33), np.float32)
+                    for i, p in enumerate(chunk):
+                        par[i, 0] = se3np.compose(tf, p.key_pose)
+                        par[i, 1] = p.rel_odom
+                        packed[i] = self._pack_obs(p)
                 ok = np.arange(C) < k
-                self.state = engine.replay_batch(
-                    self.cfg, self.state, jnp.int32(rid), jnp.asarray(par),
-                    jnp.asarray(packed), jnp.asarray(ok),
-                    self._noise_odom, self._noise_cube)
+                with phase("replay_dispatch"):
+                    self.state = engine.replay_batch(
+                        self.cfg, self.state, jnp.int32(rid), jnp.asarray(par),
+                        jnp.asarray(packed), jnp.asarray(ok),
+                        self._noise_odom, self._noise_cube)
+                    maybe_block(self.state.poses)
             self.data_association_time.append(time.perf_counter() - t0)
             t1 = time.perf_counter()
-            self.state = engine.solve_full(self.cfg, self.state)
+            with phase("replay_solve"):
+                self.state = engine.solve_full(self.cfg, self.state)
+                maybe_block(self.state.poses)
             self.fg_time.append(time.perf_counter() - t1)
             rec.bookmark_fg = n
 
@@ -411,6 +423,10 @@ class SlamNode:
 
     def attempt_intra_loop_closure(self) -> bool:
         """intraLoopClosureThread_ body (sloamNode.cpp:355-486)."""
+        with phase("intra_lc"):
+            return self._attempt_intra_loop_closure()
+
+    def _attempt_intra_loop_closure(self) -> bool:
         cfg = self.cfg
         if not self.is_in_lc_region:
             return False
@@ -448,12 +464,17 @@ class SlamNode:
         every keyframe — the reference refreshes per keyframe,
         sloamNode.cpp:1017, but only consumes it at comm/LC cadence)."""
         if self._map_dirty:
-            self.dbm.update_robot_map(self.compact_map())
+            with phase("compact_map"):
+                self.dbm.update_robot_map(self.compact_map())
             self._map_dirty = False
 
     def attempt_inter_loop_closure(self) -> List[int]:
         """interLoopClosureThread_ body (sloamNode.cpp:578-697). Returns ids
         of peers whose TF was discovered this attempt."""
+        with phase("inter_lc"):
+            return self._attempt_inter_loop_closure()
+
+    def _attempt_inter_loop_closure(self) -> List[int]:
         cfg = self.cfg
         self.refresh_robot_map()
         found_ids = []
@@ -498,6 +519,10 @@ class SlamNode:
         self.feasible_relative_meas.append(meas)
 
     def process_relative_factors(self) -> int:
+        with phase("rel_factors"):
+            return self._process_relative_factors()
+
+    def _process_relative_factors(self) -> int:
         pose_counter = [int(self.state.pose_count[r])
                         for r in range(self.cfg.number_of_robots)]
         matches = scheduler.find_relative_measurement_matches(
