@@ -136,6 +136,7 @@ def bench_mission():
 
     from slide_slam_tpu.config import SlamConfig, demo_scale_capacity
     from slide_slam_tpu.io import synthetic
+    from slide_slam_tpu.runtime import profiling
     from slide_slam_tpu.runtime.mission import MultiRobotMission
 
     cap = dataclasses.replace(demo_scale_capacity(), max_poses_per_robot=512)
@@ -143,10 +144,13 @@ def bench_mission():
     rng = np.random.default_rng(7)
     world = synthetic.make_forest_world(rng, n_trees=110, n_poles=18,
                                         n_cars=12, extent=40.0)
-    # robot 0 drives a loop (revisits -> intra LC); robots 1/2 mow
-    # overlapping halves (shared objects -> inter LC merge)
+    # robot 0 drives TWO laps of a loop: from the second lap on, every pose
+    # genuinely revisits a >=1-lap-older pose, so the default intra-LC
+    # region gate (10 m xy / >=30 poses old) is active for a sustained
+    # stretch — the reference's forest loops have the same shape. Robots
+    # 1/2 mow overlapping halves (shared objects -> inter LC merge).
     trajs = [
-        synthetic.loop_trajectory(150, radius=24.0),
+        synthetic.loop_trajectory(150, radius=13.0, laps=2.0),
         synthetic.lawnmower_trajectory(150, extent=32.0, rows=3, step=1.4),
         synthetic.lawnmower_trajectory(150, extent=38.0, rows=4, step=1.4),
     ]
@@ -157,9 +161,11 @@ def bench_mission():
     rel = _mission_relative_meas(logs, rng)
     mission = MultiRobotMission(cfg, logs, relative_meas=rel)
     n_total = sum(len(l.keyframes) for l in logs)
+    profiling.phase_reset()
     t0 = time.perf_counter()
     report = mission.run(intra_lc=True)
     dt = time.perf_counter() - t0
+    phases = profiling.phase_report()
 
     ates_slam, ates_odom = [], []
     for node, log, traj in zip(report.nodes, logs, trajs):
@@ -173,6 +179,18 @@ def bench_mission():
     for n in report.nodes:
         for k, v in n.overflow_report().items():
             overflow[k] = overflow.get(k, 0) + v
+
+    # intra-LC ablation: replay robot 0's loop log SOLO with and without
+    # intra loop closure (same default gates) to isolate its ATE gain
+    ablation = {}
+    for flag in (True, False):
+        m1 = MultiRobotMission(cfg, [logs[0]])
+        rep1 = m1.run(intra_lc=flag)
+        est1 = rep1.nodes[0].optimized_trajectory()
+        ablation[flag] = (
+            synthetic.ate_rmse(est1, trajs[0][:len(est1)], align=False),
+            rep1.nodes[0].num_success_intra)
+
     return {
         "mission_kf_per_sec": n_total / dt,
         "mission_wall_s": dt,
@@ -181,10 +199,14 @@ def bench_mission():
         "ate_after_lc_m": float(np.mean(ates_slam)),
         "intra_lc_attempts": sum(n.num_attempts_intra for n in report.nodes),
         "intra_lc_successes": sum(n.num_success_intra for n in report.nodes),
+        "intra_ablation_ate_with_m": float(ablation[True][0]),
+        "intra_ablation_ate_without_m": float(ablation[False][0]),
+        "intra_ablation_successes": int(ablation[True][1]),
         "inter_lc_found": sum(n.num_success_inter for n in report.nodes),
         "merged_robot_pairs": merged,
         "relative_factors": sum(n.num_rel_factors for n in report.nodes),
         "overflow_total": int(sum(overflow.values())),
+        "mission_phase_ms": phases,
     }
 
 

@@ -93,4 +93,5 @@ def load_node(dirpath: str, cfg, node_cls=None) -> "SlamNode":
                                  np.int32 if k.endswith("label") else np.float32)
                    for k in pd if k != "stamp"}))
         node.dbm.records[int(rid)] = rr
+    node.rebuild_mirrors()
     return node

@@ -119,11 +119,18 @@ def lawnmower_trajectory(n_steps: int, extent=50.0, rows=4, step=1.0,
     return np.stack(poses[:n_steps]).astype(np.float32)
 
 
-def loop_trajectory(n_steps: int, radius=30.0, z=0.5) -> np.ndarray:
-    """Circular loop revisiting the start — exercises loop closure."""
+def loop_trajectory(n_steps: int, radius=30.0, z=0.5,
+                    laps: float = 1.0) -> np.ndarray:
+    """Circular loop revisiting the start — exercises loop closure.
+
+    laps > 1 keeps driving around: from the second lap on every pose is a
+    genuine revisit of a >=1-lap-older pose, so the loop-closure region
+    (cylinderMapManager.cpp:114-158 semantics: within 10 m xy of a pose
+    >=30 poses old) is active for a sustained stretch of the mission, like
+    the reference's forest demo loops."""
     poses = []
     for i in range(n_steps):
-        th = 2 * np.pi * i / (n_steps - 1)
+        th = 2 * np.pi * laps * i / (n_steps - 1)
         x, y = radius * np.cos(th) - radius, radius * np.sin(th)
         yaw = th + np.pi / 2
         poses.append(np.asarray(se3.from_xyz_yaw(x, y, z, yaw)))

@@ -181,15 +181,25 @@ def dense_clique_inliers(d1: np.ndarray, d2: np.ndarray,
     m = len(d1)
     if m == 0:
         return np.zeros((0,), np.int64)
-    mask = jnp.ones((m,), bool)
-    M = affinity_matrix(jnp.asarray(d1, jnp.float32),
-                        jnp.asarray(d2, jnp.float32), mask, params)
+    # pad the association count to a power-of-2 bucket (>=64): the ascent is
+    # jit-compiled per shape and every place-recognition attempt arrives
+    # with a different m — without bucketing each attempt recompiles
+    # (~seconds on the TPU tunnel). Padding rows are masked out of the
+    # affinity; their ascent gradient is <= 0 at u=0 so they stay exactly 0.
+    cap = 1 << max(6, int(np.ceil(np.log2(m))))
+    d1p = np.zeros((cap, np.shape(d1)[1]), np.float32)
+    d2p = np.zeros((cap, np.shape(d2)[1]), np.float32)
+    d1p[:m], d2p[:m] = d1, d2
+    mask = jnp.asarray(np.arange(cap) < m)
+    M = affinity_matrix(jnp.asarray(d1p), jnp.asarray(d2p), mask, params)
     rng = np.random.default_rng(seed)
-    u0 = jnp.asarray(rng.uniform(size=m).astype(np.float32))
-    u, F, omega = find_dense_clique(M, u0, params)
+    u0 = np.zeros((cap,), np.float32)
+    u0[:m] = rng.uniform(size=m).astype(np.float32)
+    u, F, omega = find_dense_clique(M, jnp.asarray(u0), params)
+    u = np.asarray(u)[:m]
     if rounding == "nonzero":
-        return np.flatnonzero(np.asarray(u) > 0.0)
+        return np.flatnonzero(u > 0.0)
     if rounding == "dsd":
         from .clipper_alternates import dsd_round
-        return dsd_round(np.asarray(M), np.asarray(u))
-    return select_inliers(np.asarray(u), int(omega))
+        return dsd_round(np.asarray(M)[:m, :m], u)
+    return select_inliers(u, int(omega))

@@ -439,6 +439,35 @@ def solve_incremental(cfg: SlamConfig, state: GraphState) -> GraphState:
                          jnp.float32(cfg.solver.incremental_pcg_tol))
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def compact_map_rows(cfg: SlamConfig, state: GraphState,
+                     min_hits: jnp.ndarray) -> jnp.ndarray:
+    """All landmark families as [NC+NK+NU, 8] rows
+    [label, x, y, z, dim1, dim2, dim3, valid] in ONE array.
+
+    The compact-map refresh (databaseManager.cpp:64-96 + getFinalMap hit
+    gating) previously fetched ~10 landmark arrays host-side — ~10 tunnel
+    round trips per refresh; this is one dispatch + one transfer."""
+    s = state
+    f = s.cyl_root.dtype
+
+    def fam(count, hits, lab, xyz, dims):
+        valid = (jnp.arange(lab.shape[0]) < count) & (hits >= min_hits)
+        return jnp.concatenate(
+            [lab[:, None].astype(f), xyz, dims, valid[:, None].astype(f)],
+            axis=1)
+
+    cyl_dims = jnp.concatenate(
+        [s.cyl_radius[:, None], jnp.zeros((s.cyl_radius.shape[0], 2), f)],
+        axis=1)
+    return jnp.concatenate([
+        fam(s.cyl_count, s.cyl_hits, s.cyl_label, s.cyl_root, cyl_dims),
+        fam(s.cub_count, s.cub_hits, s.cub_label, s.cub_pose[:, 4:7],
+            s.cub_scale),
+        fam(s.pt_count, s.pt_hits, s.pt_label, s.pt_pos, s.pt_scale),
+    ], axis=0)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
 def add_between_factor(cfg: SlamConfig, state: GraphState,
                        slot_i: jnp.ndarray, slot_j: jnp.ndarray,

@@ -58,17 +58,22 @@ class SlamNode:
         self.place_recognition = PlaceRecognition(cfg.place_recognition,
                                                   slidematch_dims)
         self.slidegraph = SlideGraph(cfg.slidegraph)
-        self.key_poses: List[np.ndarray] = []   # np once materialized;
-        #                                         device arrays while in flight
+        self.key_poses: List[np.ndarray] = []   # host pose mirror (np [7])
         self.key_stamps: List[float] = []
         self.latest_odom: Optional[np.ndarray] = None
         self.is_in_lc_region = False
-        # async-pipeline bookkeeping: poses come back from the device with a
-        # bounded lag; the host runs on odometry-composed estimates meanwhile
-        self._n_materialized = 0
-        self._xyz_hist: List[np.ndarray] = []   # at-insert optimized xyz
-        self._est_last: Optional[np.ndarray] = None  # host estimate of last key pose
-        self.max_pose_lag = 4
+        # Host pose mirror discipline: the device chains optimized poses
+        # itself (keyframe_step_fused); the host runs on odometry-composed
+        # estimates and re-syncs the WHOLE chain in ONE transfer every
+        # `pose_refresh_every` keyframes and after closure solves. A
+        # per-keyframe [7]-pose fetch costs a full tunnel round trip
+        # (~25 ms); one [R*P,7] fetch costs the same round trip, so
+        # amortized sync is ~16x cheaper than the per-pose pipeline.
+        self._xyz_hist: List[np.ndarray] = []   # host-estimate xyz mirror
+        self.pose_refresh_every = 16
+        self._kf_since_refresh = 0
+        # host mirrors of device counters (avoid scalar D2H fetches)
+        self._peer_pose_count: Dict[int, int] = {}
         self.feasible_relative_meas: List[scheduler.RelativeMeas] = []
         # runtime accounting (sloamNode.h:79-91)
         self.data_association_time: List[float] = []
@@ -88,8 +93,16 @@ class SlamNode:
 
     # ------------------------------------------------------------------
     def _pack_obs(self, p: PoseMstPair) -> np.ndarray:
-        """One [S, 33] f32 scan array (see engine.unpack_scan layout)."""
+        """One [S, 33] f32 scan array (see engine.unpack_scan layout).
+
+        Cached on the packet: in a multi-robot mission the same PoseMstPair
+        object is shared by every node's database (and replayed by each
+        peer), so each packet is packed once per mission, not once per
+        replay per robot."""
         S = self.cfg.capacity.max_scan_objects
+        cached = getattr(p, "_packed", None)
+        if cached is not None and cached.shape[0] == S:
+            return cached
         out = np.zeros((S, 33), np.float32)
         out[:, 12] = 1.0   # cub pose qw identity
         out[:, 24] = 1.0   # ell pose qw identity
@@ -112,61 +125,50 @@ class SlamNode:
             out[:k, 28:31] = p.ell_scale[:k]
             out[:k, 31] = p.ell_label[:k]
             out[:k, 32] = 1.0
+        p._packed = out
         return out
 
     def prev_key_pose(self) -> np.ndarray:
-        """Best host-side value of the latest key pose: the materialized
-        device result when it has arrived, else the odometry-composed
-        estimate (exactly lastKeyPose o relOdom — the reference's
-        high-frequency pose, inputNode.cpp:49-80)."""
+        """Host-side value of the latest key pose: the last device snapshot
+        composed forward with odometry (exactly lastKeyPose o relOdom — the
+        reference's high-frequency pose, inputNode.cpp:49-80)."""
         if not self.key_poses:
             return se3np.identity()
-        self._sync_poses()
-        if isinstance(self.key_poses[-1], np.ndarray):
-            return self.key_poses[-1]
-        return self._est_last
+        return self.key_poses[-1]
 
-    def _sync_poses(self, force: bool = False):
-        """Materialize in-flight device poses. Non-blocking by default (only
-        arrived transfers are consumed); blocks when `force` or when the
-        pipeline lag exceeds max_pose_lag, so host estimates stay fresh."""
+    def refresh_poses(self):
+        """Pull the optimized pose chain from the device in ONE transfer and
+        rebase the host mirrors (key_poses, _xyz_hist) onto it."""
         n = len(self.key_poses)
-        while self._n_materialized < n:
-            i = self._n_materialized
-            arr = self.key_poses[i]
-            if not isinstance(arr, np.ndarray):
-                lag = n - i
-                ready = True
-                if not force and lag <= self.max_pose_lag:
-                    try:
-                        ready = bool(arr.is_ready())
-                    except AttributeError:
-                        ready = True
-                if not ready:
-                    break
-                t0 = time.perf_counter()
-                arr = _np(arr)
-                dt = time.perf_counter() - t0
-                phase_add("pose_fetch", dt)
-                if i < len(self.fg_time):
-                    self.fg_time[i] += dt
-                self.key_poses[i] = arr
-            self._xyz_hist.append(np.asarray(arr[4:7]))
-            self._n_materialized += 1
-            self._reanchor_estimate()
-
-    def _reanchor_estimate(self):
-        """Re-derive the host estimate of the LAST key pose from the newest
-        materialized pose composed with the relative odometry of the still
-        in-flight keyframes."""
-        i = self._n_materialized - 1
-        if i < 0:
+        if n == 0:
             return
-        est = self.key_poses[i]
-        packets = self.dbm.host_record().packets
-        for j in range(i + 1, len(self.key_poses)):
-            est = se3np.compose(est, packets[j].rel_odom)
-        self._est_last = est
+        t0 = time.perf_counter()
+        P = self.cfg.capacity.max_poses_per_robot
+        base = self.robot_id * P
+        # fetch the WHOLE pose array: a python-sliced fetch would trace a
+        # fresh XLA slice program per (base, n) pair — a tunnel-side compile
+        # (~400 ms) on every refresh; the full [R*P, 7] transfer is ~40 KB
+        # and costs one ~25 ms round trip
+        chain = np.asarray(self.state.poses)[base:base + n]
+        phase_add("pose_fetch", time.perf_counter() - t0)
+        for i in range(n):
+            self.key_poses[i] = chain[i]
+            self._xyz_hist[i] = chain[i, 4:7]
+        self._kf_since_refresh = 0
+
+    def _maybe_refresh_poses(self):
+        self._kf_since_refresh += 1
+        if self._kf_since_refresh >= self.pose_refresh_every:
+            self.refresh_poses()
+
+    def rebuild_mirrors(self):
+        """Re-derive host mirrors after key_poses / the database were
+        replaced wholesale (checkpoint restore)."""
+        self._xyz_hist = [np.asarray(p[4:7]) for p in self.key_poses]
+        self._kf_since_refresh = 0
+        self._peer_pose_count = {
+            rid: rec.bookmark_fg for rid, rec in self.dbm.records.items()
+            if rid != self.robot_id}
 
     # ------------------------------------------------------------------
     # Main keyframe path
@@ -198,26 +200,25 @@ class SlamNode:
         packet = packet_from_obs(stamp, pose_est, rel, obs)
         self.dbm.host_record().packets.append(packet)
 
-        new_pose = self._fused_step(odom_pose, rel, packet,
-                                    drop=self.is_in_lc_region)
-        self.key_poses.append(new_pose)
+        self._fused_step(odom_pose, rel, packet, drop=self.is_in_lc_region)
+        # host mirror: odometry-composed estimate; the optimized chain is
+        # re-synced in one batched transfer by _maybe_refresh_poses
+        self.key_poses.append(pose_est)
+        self._xyz_hist.append(pose_est[4:7])
         self.key_stamps.append(float(stamp))
-        self._est_last = pose_est
         self.latest_odom = odom_pose
         self.dbm.host_record().bookmark_fg = len(self.dbm.host_record().packets)
         # multi-robot: fold any pending peer keyframes (sloamNode.cpp:912-1008)
         self.replay_peers()
         self._map_dirty = True   # compact map refreshed lazily (comm/LC time)
-        # consume any completed device->host pose transfers (non-blocking)
-        self._sync_poses()
+        self._maybe_refresh_poses()
         return self.key_poses[-1]
 
     def _fused_step(self, odom_pose, rel, packet: PoseMstPair, drop: bool):
         """Main keyframe path: ONE async device dispatch (DA + insert +
-        solve). Returns the optimized pose as a DEVICE array with its
-        host transfer already enqueued — consumed by _sync_poses with a
-        bounded lag so dispatch, device compute, and the tunnel's ~27 ms
-        fetch round-trip pipeline across consecutive keyframes."""
+        solve). Nothing is fetched back here — the host mirrors re-sync via
+        refresh_poses at their own cadence, so consecutive keyframe
+        dispatches pipeline without any device->host round trip."""
         with phase("kf_host_pack"):
             packed = self._pack_obs(packet)
         odom_and_rel = np.stack([np.asarray(odom_pose, np.float32),
@@ -233,16 +234,10 @@ class SlamNode:
             jnp.asarray(packed), jnp.asarray(drop), jnp.asarray(budget),
             self._noise_odom, self._noise_cube,
         )
-        pose = out.pose
-        maybe_block(pose)
-        try:
-            pose.copy_to_host_async()
-        except AttributeError:
-            pass
+        maybe_block(out.pose)
         dt = time.perf_counter() - t0
         self.fg_time.append(dt)
         phase_add("kf_dispatch", dt)
-        return pose
 
     def _step(self, robot_id: int, pose_est, rel, packet: PoseMstPair,
               drop: bool, solve: bool) -> np.ndarray:
@@ -283,6 +278,8 @@ class SlamNode:
         history costs ceil(n/32) dispatches + one solve — not n."""
         C = self.REPLAY_CHUNK
         S = self.cfg.capacity.max_scan_objects
+        replayed = False
+        first_fold = False
         for rid, rec in self.dbm.records.items():
             if rid == self.robot_id:
                 continue
@@ -292,6 +289,7 @@ class SlamNode:
             n = len(rec.packets)
             if rec.bookmark_fg >= n:
                 continue
+            first_fold |= rec.bookmark_fg == 0
             t0 = time.perf_counter()
             pending = rec.packets[rec.bookmark_fg:n]
             for lo in range(0, len(pending), C):
@@ -313,12 +311,26 @@ class SlamNode:
                         self._noise_odom, self._noise_cube)
                     maybe_block(self.state.poses)
             self.data_association_time.append(time.perf_counter() - t0)
+            rec.bookmark_fg = n
+            self._peer_pose_count[rid] = n
+            replayed = True
+        if replayed:
+            # ONE solve after all peers fold (the reference also solves once
+            # after the replay block, sloamNode.cpp:1000-1008). The thorough
+            # budget only pays off on a FIRST fold (a whole history lands at
+            # once); incremental replays converge with the warm-start
+            # budget — running solve_full per comm round was the single
+            # largest mission phase in the r2 profile (~1.1 s per call).
             t1 = time.perf_counter()
             with phase("replay_solve"):
-                self.state = engine.solve_full(self.cfg, self.state)
+                if first_fold:
+                    self.state = engine.solve_full(self.cfg, self.state)
+                else:
+                    self.state = engine.solve_incremental(self.cfg, self.state)
                 maybe_block(self.state.poses)
             self.fg_time.append(time.perf_counter() - t1)
-            rec.bookmark_fg = n
+            if first_fold:
+                self.refresh_poses()
 
     # ------------------------------------------------------------------
     # Loop-closure paths
@@ -326,13 +338,13 @@ class SlamNode:
     def in_loop_closure_region(self, pose: np.ndarray) -> bool:
         """CylinderMapManager::InLoopClosureRegion (cylinderMapManager.cpp:114-158).
 
-        Uses the host mirror of at-insert optimized key poses (_xyz_hist) —
-        no device fetch in the per-keyframe path. Deviation (documented):
-        the device refreshes keypose_xyz after every solve; for this coarse
-        10 m / 2 m revisit gate the at-insert positions are equivalent."""
+        Uses the host xyz mirror (_xyz_hist): odometry-composed estimates
+        re-based onto the optimized chain every `pose_refresh_every`
+        keyframes and after closure solves — the periodically-synced
+        equivalent of the reference's KD-tree over optimized keyposes, with
+        no device fetch in the per-keyframe path."""
         cfg = self.cfg
-        self._sync_poses()
-        n = self._n_materialized
+        n = len(self._xyz_hist)
         if n < cfg.lc_min_poses_old_region:
             return False
         xyz = np.asarray(self._xyz_hist[:n])
@@ -345,13 +357,13 @@ class SlamNode:
 
     def _loop_candidate_idx(self, pose_idx: int) -> Optional[int]:
         """getLoopCandidateIdx (cylinderMapManager.cpp:160-184): nearest pose
-        within 15 m that is >= 50 poses older."""
+        within 15 m that is >= 50 poses older. Host xyz mirror (refreshed
+        from the device at the start of every intra attempt)."""
         cfg = self.cfg
-        n = int(self.state.pose_count[self.robot_id])
+        n = len(self.key_poses)
         if n < 50:
             return None
-        base = self.robot_id * cfg.capacity.max_poses_per_robot
-        xyz = np.asarray(self.state.keypose_xyz)[base:base + n]
+        xyz = np.asarray(self._xyz_hist[:n])
         d = np.linalg.norm(xyz - xyz[pose_idx], axis=1)
         eligible = ((d <= cfg.lc_candidate_max_dist)
                     & (pose_idx - np.arange(n) > cfg.lc_candidate_min_poses_old))
@@ -430,19 +442,21 @@ class SlamNode:
         cfg = self.cfg
         if not self.is_in_lc_region:
             return False
-        latest = int(self.state.pose_count[self.robot_id]) - 1
+        latest = len(self.key_poses) - 1
         if latest < cfg.lc_min_pose_idx or latest == self.last_intra_attempt_pose:
             return False
         self.num_attempts_intra += 1
         self.last_intra_attempt_pose = latest
+        # sync the optimized chain once per attempt: the candidate search
+        # runs over *optimized* keyposes (cylinderMapManager.cpp:114-158)
+        self.refresh_poses()
         cand = self._loop_candidate_idx(latest)
         if cand is None:
             return False
         packet = self.dbm.host_record().packets[latest]
         meas = self.packet_measurement_rows(packet)
-        base = self.robot_id * cfg.capacity.max_poses_per_robot
-        cand_pose = np.asarray(self.state.poses)[base + cand]
-        query_pose = packet.key_pose
+        cand_pose = self.key_poses[cand]
+        query_pose = self.key_poses[latest]
         submap = self._keypose_submap_rows(cand_pose, cfg.lc_submap_radius)
         t0 = time.perf_counter()
         found, tf_q2c = self.place_recognition.find_intra_loop_closure(
@@ -455,7 +469,7 @@ class SlamNode:
         self.add_loop_closure_factor(cand, self.robot_id, latest,
                                      self.robot_id, rel)
         self.state = engine.solve_full(self.cfg, self.state)
-        self._refresh_key_poses()
+        self.refresh_poses()
         return True
 
     def refresh_robot_map(self):
@@ -523,7 +537,13 @@ class SlamNode:
             return self._process_relative_factors()
 
     def _process_relative_factors(self) -> int:
-        pose_counter = [int(self.state.pose_count[r])
+        if not self.feasible_relative_meas:
+            return 0
+        # host mirror of per-robot pose counts: own = keyframes integrated,
+        # peers = packets folded by replay (zero until their TF is known) —
+        # avoids 3 scalar device fetches (~25 ms RTT each) per call
+        pose_counter = [len(self.key_poses) if r == self.robot_id
+                        else self._peer_pose_count.get(r, 0)
                         for r in range(self.cfg.number_of_robots)]
         matches = scheduler.find_relative_measurement_matches(
             self.feasible_relative_meas, pose_counter,
@@ -540,23 +560,12 @@ class SlamNode:
                 jnp.int32(m.meas.robot_index * P + m.index_other),
                 jnp.asarray(rel), jnp.asarray(sigma))
         if matches:
-            self.state = engine.solve_full(self.cfg, self.state)
-            self._refresh_key_poses()
+            self.state = engine.solve_incremental(self.cfg, self.state)
+            self.refresh_poses()
         self.num_rel_factors += len(matches)
         return len(matches)
 
     # ------------------------------------------------------------------
-    def _refresh_key_poses(self):
-        traj = self.optimized_trajectory()
-        for i in range(len(self.key_poses)):
-            self.key_poses[i] = traj[i]
-        # all poses now materialized; refresh the mirrors to the
-        # re-optimized positions
-        self._n_materialized = len(self.key_poses)
-        self._xyz_hist = [p[4:7] for p in traj[:len(self.key_poses)]]
-        if self.key_poses:
-            self._est_last = self.key_poses[-1]
-
     def optimized_trajectory(self) -> np.ndarray:
         return self.trajectory_of(self.robot_id)
 
@@ -585,46 +594,26 @@ class SlamNode:
     # ------------------------------------------------------------------
     def compact_map(self, min_hits: Optional[int] = None) -> np.ndarray:
         """Vector7d rows [label, x, y, z, dim1, dim2, dim3]
-        (databaseManager.cpp:64-96 with getFinalMap hit gating)."""
+        (databaseManager.cpp:64-96 with getFinalMap hit gating). One device
+        dispatch + one transfer (engine.compact_map_rows)."""
         if min_hits is None:
             min_hits = self.cfg.min_landmark_hits
-        s = self.state
-        rows = []
-        nc = int(s.cyl_count)
-        if nc:
-            keep = np.asarray(s.cyl_hits)[:nc] >= min_hits
-            root = np.asarray(s.cyl_root)[:nc][keep]
-            lab = np.asarray(s.cyl_label)[:nc][keep]
-            rad = np.asarray(s.cyl_radius)[:nc][keep]
-            rows.append(np.concatenate([
-                lab[:, None].astype(np.float32), root,
-                rad[:, None], np.zeros((len(root), 2), np.float32)], axis=1))
-        nk = int(s.cub_count)
-        if nk:
-            keep = np.asarray(s.cub_hits)[:nk] >= min_hits
-            tr = np.asarray(s.cub_pose)[:nk, 4:7][keep]
-            lab = np.asarray(s.cub_label)[:nk][keep]
-            sc = np.asarray(s.cub_scale)[:nk][keep]
-            rows.append(np.concatenate([
-                lab[:, None].astype(np.float32), tr, sc], axis=1))
-        nu = int(s.pt_count)
-        if nu:
-            keep = np.asarray(s.pt_hits)[:nu] >= min_hits
-            tr = np.asarray(s.pt_pos)[:nu][keep]
-            lab = np.asarray(s.pt_label)[:nu][keep]
-            sc = np.asarray(s.pt_scale)[:nu][keep]
-            rows.append(np.concatenate([
-                lab[:, None].astype(np.float32), tr, sc], axis=1))
-        if not rows:
-            return np.zeros((0, 7), np.float32)
-        return np.concatenate(rows, axis=0)
+        rows = np.asarray(engine.compact_map_rows(
+            self.cfg, self.state, jnp.int32(min_hits)))
+        return np.ascontiguousarray(rows[rows[:, 7] > 0.5, :7], np.float32)
 
     def write_trajectory(self, path: str, robot_id: Optional[int] = None):
         """TUM-style `stamp x y z qx qy qz qw` (sloamNode.cpp:318-337)."""
         rid = self.robot_id if robot_id is None else robot_id
         traj = self.trajectory_of(rid)
-        stamps = (self.key_stamps if rid == self.robot_id
-                  else list(range(len(traj))))
+        if rid == self.robot_id:
+            stamps = self.key_stamps
+        elif rid in self.dbm.records:
+            # real peer stamps from the replayed packets
+            # (sloamNode.cpp:318-337 writes stamped rows for every robot)
+            stamps = [p.stamp for p in self.dbm.records[rid].packets]
+        else:
+            stamps = list(range(len(traj)))
         with open(path, "w") as f:
             for st, p in zip(stamps, traj):
                 qw, qx, qy, qz, x, y, z = p
