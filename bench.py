@@ -129,18 +129,53 @@ def _mission_relative_meas(logs, rng, max_dist=12.0, period=10):
     return out
 
 
+def _warm_mission_kernels(cfg, logs, rel):
+    """Compile every device program the timed mission will hit, BEFORE the
+    clock starts: the keyframe step / replay / solve shapes via a short
+    prior-TF-known mini-mission, the SlideMatch kernel at its fixed bucket,
+    SlideGraph's CLIPPER ascent at the power-of-2 association buckets the
+    full-size maps produce. The tunnel backend compiles at ~0.7-23 s per
+    program; the reference's steady-state 5 Hz envelope has no equivalent
+    one-time cost, so warm-up stays outside the measurement (same treatment
+    as bench_solo's warmup)."""
+    import copy
+
+    from slide_slam_tpu.place_recognition.clipper import (ClipperParams,
+                                                          dense_clique_inliers)
+    from slide_slam_tpu.runtime.mission import MultiRobotMission
+
+    warm_logs = []
+    for log in logs:
+        wl = copy.copy(log)
+        wl.keyframes = log.keyframes[:16]
+        warm_logs.append(wl)
+    warm = MultiRobotMission(cfg, warm_logs, prior_tf_known=True,
+                             relative_meas=rel[:2])
+    warm.run(intra_lc=True)
+    node = warm.nodes[0]
+    ref_map = node.compact_map(min_hits=1)
+    if len(ref_map) >= 10:
+        node.place_recognition.find_transformation(ref_map, ref_map,
+                                                   intra=False)
+        node.slidegraph.find_inter_loop_closure(ref_map, ref_map)
+    # CLIPPER pow2 buckets seen with ~150-object maps (triangle matches)
+    params = ClipperParams(sigma=cfg.slidegraph.sigma,
+                           epsilon=cfg.slidegraph.epsilon)
+    rngw = np.random.default_rng(0)
+    for m in (100, 400, 900, 1800):
+        pts = rngw.normal(size=(m, 2)).astype(np.float32)
+        dense_clique_inliers(pts, pts + 0.01, params, seed=0)
+
+
 def bench_mission():
     """3-robot full mission: comm + intra-LC + inter-LC merge + relative
     factors (the reference demo, tmux_multi_robot_with_bags_forest.sh)."""
-    import dataclasses
-
-    from slide_slam_tpu.config import SlamConfig, demo_scale_capacity
+    from slide_slam_tpu.config import SlamConfig, mission_capacity
     from slide_slam_tpu.io import synthetic
     from slide_slam_tpu.runtime import profiling
     from slide_slam_tpu.runtime.mission import MultiRobotMission
 
-    cap = dataclasses.replace(demo_scale_capacity(), max_poses_per_robot=512)
-    cfg = SlamConfig(number_of_robots=3, capacity=cap)
+    cfg = SlamConfig(number_of_robots=3, capacity=mission_capacity(150))
     rng = np.random.default_rng(7)
     world = synthetic.make_forest_world(rng, n_trees=110, n_poles=18,
                                         n_cars=12, extent=40.0)
@@ -159,6 +194,7 @@ def bench_mission():
                                dropout=0.1, yaw_drift_bias=0.0008)
             for r, t in enumerate(trajs)]
     rel = _mission_relative_meas(logs, rng)
+    _warm_mission_kernels(cfg, logs, rel)
     mission = MultiRobotMission(cfg, logs, relative_meas=rel)
     n_total = sum(len(l.keyframes) for l in logs)
     profiling.phase_reset()

@@ -12,6 +12,8 @@ import dataclasses
 from dataclasses import dataclass, field
 from typing import Tuple
 
+import numpy as np
+
 
 @dataclass(frozen=True)
 class NoiseConfig:
@@ -75,6 +77,27 @@ class CapacityConfig:
     submap_k_cylinder: int = 50           # cylinderMapManager.cpp:230
     submap_k_cuboid: int = 30             # cubeMapManager.cpp:61
     submap_k_ellipsoid: int = 256         # ellipsoidMapManager KNN=1000 == "all"
+
+
+def mission_capacity(n_keyframes_per_robot: int = 150) -> CapacityConfig:
+    """Capacities sized to the reference's 3-robot demo mission shape
+    (tmux_multi_robot_with_bags_forest.sh: ~150 keyframes/robot at 5 Hz,
+    ~150-object forest maps) with ~1.7x headroom. Every solver array is
+    iterated at FULL capacity regardless of fill (masked static shapes), so
+    capacity IS the per-keyframe device cost — provision for the mission,
+    not the theoretical maximum, and let the overflow counters
+    (graph.OVERFLOW_FIELDS) prove the preset was large enough."""
+    P = max(64, int(1 << int(np.ceil(np.log2(n_keyframes_per_robot * 1.7)))))
+    return CapacityConfig(
+        max_poses_per_robot=P,
+        max_cylinders=512,
+        max_cuboids=128,
+        max_points=128,
+        max_cylinder_factors=16384,
+        max_cuboid_factors=1024,
+        max_point_factors=1024,
+        max_between_factors=256,
+    )
 
 
 def demo_scale_capacity() -> CapacityConfig:

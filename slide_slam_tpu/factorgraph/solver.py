@@ -82,7 +82,11 @@ def _between_lin(pose_i, pose_j, rel, sigma):
 
 def _cyl_lin(pose, lm7, meas, sigma):
     """Cylinder residual [lm_ray - R m_ray, lm_root - (R m_root + t),
-    m_rad - lm_rad]; pose perturbation p <- p Exp([w, v])."""
+    m_rad - lm_rad]; pose perturbation p <- p Exp([w, v]).
+
+    Jacobian blocks are CONCATENATED, not .at[slice].set into zeros: inside
+    a 16k-wide vmap the scatter form lowers to multi-ms dynamic-update-
+    slices on TPU (profiled 6.7 ms/solve), the concat form fuses away."""
     R = se3.quat_to_matrix(se3.quat(pose))
     t = se3.trans(pose)
     m_ray, m_root, m_rad = meas[0:3], meas[3:6], meas[6]
@@ -91,10 +95,12 @@ def _cyl_lin(pose, lm7, meas, sigma):
         lm7[3:6] - (R @ m_root + t),
         (m_rad - lm7[6])[None],
     ])
-    Jp = jnp.zeros((7, 6), pose.dtype)
-    Jp = Jp.at[0:3, 0:3].set(R @ se3.skew(m_ray))
-    Jp = Jp.at[3:6, 0:3].set(R @ se3.skew(m_root))
-    Jp = Jp.at[3:6, 3:6].set(-R)
+    z33 = jnp.zeros((3, 3), pose.dtype)
+    Jp = jnp.concatenate([
+        jnp.concatenate([R @ se3.skew(m_ray), z33], axis=1),
+        jnp.concatenate([R @ se3.skew(m_root), -R], axis=1),
+        jnp.zeros((1, 6), pose.dtype),
+    ], axis=0)
     Jl = jnp.diag(jnp.array([1., 1., 1., 1., 1., 1., -1.], pose.dtype))
     w = 1.0 / sigma
     return r * w, Jp * w, Jl * w
@@ -108,10 +114,12 @@ def _cub_lin(pose, lm_pose, lm_scale, m_pose, m_scale, sigma):
     Jr_inv = jacobians.se3_right_jacobian_inv(e)
     Jp6 = Jr_inv @ jacobians.se3_adjoint(se3.inverse(m_pose))
     Jl6 = -jacobians.se3_left_jacobian_inv(e)
-    Jp = jnp.zeros((9, 6), pose.dtype).at[0:6, :].set(Jp6)
-    Jl = jnp.zeros((9, 9), pose.dtype)
-    Jl = Jl.at[0:6, 0:6].set(Jl6)
-    Jl = Jl.at[6:9, 6:9].set(-jnp.eye(3, dtype=pose.dtype))
+    Jp = jnp.concatenate([Jp6, jnp.zeros((3, 6), pose.dtype)], axis=0)
+    z63 = jnp.zeros((6, 3), pose.dtype)
+    Jl = jnp.concatenate([
+        jnp.concatenate([Jl6, z63], axis=1),
+        jnp.concatenate([z63.T, -jnp.eye(3, dtype=pose.dtype)], axis=1),
+    ], axis=0)
     w = 1.0 / sigma
     return r * w, Jp * w[:, None], Jl * w[:, None]
 

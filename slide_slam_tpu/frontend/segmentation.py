@@ -124,7 +124,8 @@ def segment(model: RangeSegmentator, variables, range_input: jnp.ndarray):
 def crf_refine(xyz: jnp.ndarray, softmax: jnp.ndarray, mask: jnp.ndarray,
                iters: int = 3, window=(3, 5), xyz_sigma: float = 0.7,
                xyz_coef: float = -0.1,
-               compat: jnp.ndarray = None) -> jnp.ndarray:
+               compat: jnp.ndarray = None,
+               compat_bias: jnp.ndarray = None) -> jnp.ndarray:
     """Mean-field CRF refinement of per-pixel class probabilities on the
     range image (the RangeNet++ optional post head, CRF.py:10-127):
     per iteration, each pixel gathers its window's class probabilities
@@ -146,6 +147,8 @@ def crf_refine(xyz: jnp.ndarray, softmax: jnp.ndarray, mask: jnp.ndarray,
     assert wh % 2 == 1 and ww % 2 == 1, "window must be odd"
     if compat is None:
         compat = (jnp.ones((C, C)) - jnp.eye(C)) * xyz_coef
+    if compat_bias is None:
+        compat_bias = jnp.zeros((C,), softmax.dtype)
     den = 2.0 * xyz_sigma * xyz_sigma
     maskf = mask.astype(softmax.dtype)
 
@@ -162,7 +165,7 @@ def crf_refine(xyz: jnp.ndarray, softmax: jnp.ndarray, mask: jnp.ndarray,
             d2 = jnp.sum((x_s - xyz) ** 2, axis=-1)
             w = jnp.exp(-d2 / den) * m_s
             msg = msg + sm_s * w[..., None]
-        reweight = msg @ compat
+        reweight = msg @ compat + compat_bias
         return jax.nn.softmax(reweight + sm, axis=-1)
 
     sm = softmax
@@ -174,7 +177,9 @@ def crf_refine(xyz: jnp.ndarray, softmax: jnp.ndarray, mask: jnp.ndarray,
 def segment_with_crf(model: RangeSegmentator, variables,
                      range_input: jnp.ndarray, iters: int = 3,
                      window=(3, 5), xyz_sigma: float = 0.7,
-                     xyz_coef: float = -0.1) -> jnp.ndarray:
+                     xyz_coef: float = -0.1,
+                     compat: jnp.ndarray = None,
+                     compat_bias: jnp.ndarray = None) -> jnp.ndarray:
     """Forward + CRF refinement -> labels. The range image's channels 1:4
     are x,y,z exactly as the reference's CRF consumes them (CRF.py:110),
     channel 0 is range; mask = range > 0."""
@@ -183,5 +188,6 @@ def segment_with_crf(model: RangeSegmentator, variables,
     xyz = range_input[..., 1:4]
     mask = range_input[..., 0] > 0
     sm = crf_refine(xyz, sm, mask, iters=iters, window=window,
-                    xyz_sigma=xyz_sigma, xyz_coef=xyz_coef)
+                    xyz_sigma=xyz_sigma, xyz_coef=xyz_coef,
+                    compat=compat, compat_bias=compat_bias)
     return jnp.argmax(sm, axis=-1).astype(jnp.int32)

@@ -127,6 +127,24 @@ def load_head_conv(variables: dict, weight: np.ndarray, bias: np.ndarray,
     return variables
 
 
+def load_crf_compat(state_dict: Dict[str, np.ndarray],
+                    prefix: str = "CRF.compat_conv"):
+    """Extract the *learned* CRF class-compatibility 1x1 conv
+    (CRF.py:98-101: nn.Conv2d(nclasses, nclasses, 1), weight initialised to
+    (ones - I) * xyz_coef but trained thereafter) as a (compat [C_in, C_out],
+    bias [C_out]) pair consumable by segmentation.crf_refine, which applies
+    `msg @ compat + bias` — the channel-last equivalent of the torch conv
+    `out[c_out] = sum_in W[c_out, c_in] * msg[c_in] + b[c_out]`."""
+    w = np.asarray(state_dict[f"{prefix}.weight"])        # [C_out, C_in, 1, 1]
+    if w.ndim != 4 or w.shape[2:] != (1, 1):
+        raise ValueError(f"{prefix}.weight is not a 1x1 conv: {w.shape}")
+    compat = w[:, :, 0, 0].T.astype(np.float32)           # [C_in, C_out]
+    b = state_dict.get(f"{prefix}.bias")
+    bias = (np.zeros((compat.shape[1],), np.float32) if b is None
+            else np.asarray(b, np.float32))
+    return compat, bias
+
+
 def _get(tree, path):
     node = tree
     for p in path:

@@ -326,6 +326,56 @@ def builtin_registry() -> TypeRegistry:
 
 
 # ---------------------------------------------------------------------------
+# Verbatim .msg catkin-package ingestion
+# ---------------------------------------------------------------------------
+
+def load_msg_package(msg_dir: str, package: str = "sloam_msgs"):
+    """Ingest a catkin package's msg/ directory VERBATIM: every `Name.msg`
+    file's raw text becomes the definition of `package/Name`
+    (e.g. /root/reference/backend/sloam_msgs/msg — the reference's actual
+    IDL sources, SemanticMeasSyncOdom.msg:16-26 etc.).
+
+    Returns (registry, raw_texts) where raw_texts maps full type name ->
+    the file's exact text. The registry also contains the standard ROS
+    types (std_msgs/geometry_msgs/nav_msgs) the package depends on, which
+    live in the ROS distro rather than the package itself."""
+    reg = builtin_registry()
+    raw: Dict[str, str] = {}
+    for fname in sorted(os.listdir(msg_dir)):
+        if not fname.endswith(".msg"):
+            continue
+        full_name = f"{package}/{fname[:-4]}"
+        with open(os.path.join(msg_dir, fname)) as f:
+            text = f.read()
+        raw[full_name] = text
+        reg._parse_block(full_name, text)
+    return reg, raw
+
+
+def definition_from_msg_package(full_name: str, reg: TypeRegistry,
+                                raw: Dict[str, str]) -> str:
+    """gendeps-style concatenated definition whose blocks are the VERBATIM
+    .msg file texts for package types (falling back to the builtin text for
+    distro types) — what `rosbag record` embeds in connection records."""
+    seen: List[str] = []
+
+    def visit(t):
+        for f in reg.specs[t].fields:
+            ft = f.type
+            if ft in reg.specs and ft not in seen:
+                seen.append(ft)
+                visit(ft)
+
+    visit(full_name)
+    body = raw.get(full_name) or BUILTIN_DEFS[full_name]
+    parts = [body]
+    for dep in seen:
+        dep_body = raw.get(dep) or BUILTIN_DEFS[dep]
+        parts.append("=" * 80 + f"\nMSG: {dep}\n" + dep_body)
+    return "\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
 # Bag record I/O
 # ---------------------------------------------------------------------------
 
@@ -465,12 +515,16 @@ def bag_topics(path: str) -> Dict[str, str]:
 
 
 def write_bag(path: str, messages: List[Tuple[str, str, float, dict]],
-              registry: Optional[TypeRegistry] = None):
+              registry: Optional[TypeRegistry] = None,
+              definitions: Optional[Dict[str, str]] = None):
     """Write a minimal uncompressed V2.0 bag: one chunk holding connection +
     message records (no index — every compliant reader streams fine).
     messages: (topic, full_type, stamp, msg_dict), builtin types only unless
-    a registry with extra specs is supplied."""
+    a registry with extra specs is supplied. `definitions` overrides the
+    embedded connection definition text per type (e.g. the verbatim
+    reference .msg sources via definition_from_msg_package)."""
     reg = registry or builtin_registry()
+    definitions = definitions or {}
     topics: Dict[str, int] = {}
     inner = b""
     for topic, mtype, stamp, msg in messages:
@@ -488,7 +542,8 @@ def write_bag(path: str, messages: List[Tuple[str, str, float, dict]],
                 # self-describing (an empty one would silently deserialize
                 # every message of this type as {})
                 "message_definition": (
-                    full_definition(mtype) if mtype in BUILTIN_DEFS
+                    definitions[mtype] if mtype in definitions
+                    else full_definition(mtype) if mtype in BUILTIN_DEFS
                     else definition_from_specs(reg, mtype)).encode()})
             inner += struct.pack("<I", len(conn_hdr)) + conn_hdr
             inner += struct.pack("<I", len(conn_data)) + conn_data
@@ -623,7 +678,9 @@ def bag_relative_measurements(path: str,
     return out
 
 
-def robot_log_to_bag(path: str, log, topic: Optional[str] = None):
+def robot_log_to_bag(path: str, log, topic: Optional[str] = None,
+                     registry: Optional[TypeRegistry] = None,
+                     definitions: Optional[Dict[str, str]] = None):
     """Re-export a RobotLog as a SemanticMeasSyncOdom bag the reference
     stack can replay (inverse of bag_to_robot_log)."""
     topic = topic or f"/robot{log.robot_id}/semantic_meas_sync_odom"
@@ -654,4 +711,4 @@ def robot_log_to_bag(path: str, log, topic: Optional[str] = None):
             "odometry": odom,
         }
         msgs.append((topic, "sloam_msgs/SemanticMeasSyncOdom", k.stamp, msg))
-    write_bag(path, msgs)
+    write_bag(path, msgs, registry=registry, definitions=definitions)

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -48,16 +48,6 @@ class SlideMatchDims:
     max_objects: int = 384     # padded map/query object count
     n_yaw: int = 24
     rescore_topk: int = 64
-
-
-class MatchResult(NamedTuple):
-    x: jnp.ndarray
-    y: jnp.ndarray
-    yaw: jnp.ndarray
-    inliers: jnp.ndarray          # exact count at the winner
-    ref_pairs: jnp.ndarray        # [Q, 4] (label, x, y, z) matched map objects
-    det_pairs: jnp.ndarray        # [Q, 4] matched (untransformed) query objects
-    pair_mask: jnp.ndarray        # [Q]
 
 
 def _pad_objects(objs: np.ndarray, n: int):
@@ -86,11 +76,29 @@ def _bucket_capacity(n: int, base: int) -> int:
     return ((need + 127) // 128) * 128
 
 
+def _compact_label_bins(ref_labels: np.ndarray, qry_labels: np.ndarray):
+    """Map raw label values to compact raster bins.
+
+    The raster has N_LABEL_BINS planes; raw label VALUES may exceed that
+    (open-vocab detectors emit arbitrary class ids). A shared compact remap
+    over the labels actually present keeps distinct labels in distinct
+    planes whenever <= N_LABEL_BINS distinct labels occur (always true for
+    the reference's class sets); beyond that, bins wrap modulo — which only
+    blurs the *candidate ranking*, since the exact top-K rescore always
+    compares raw label values."""
+    uniq = np.unique(np.concatenate([ref_labels, qry_labels]))
+    lut = {v: i % N_LABEL_BINS for i, v in enumerate(uniq.tolist())}
+    rb = np.asarray([lut[v] for v in ref_labels.tolist()], np.int32)
+    qb = np.asarray([lut[v] for v in qry_labels.tolist()], np.int32)
+    return rb, qb
+
+
 @functools.partial(jax.jit, static_argnames=("dims", "ignore_dimension"))
 def _slidematch_kernel(
     dims: SlideMatchDims,
     ref: jnp.ndarray, ref_mask: jnp.ndarray,       # [M,7], [M]
     qry: jnp.ndarray, qry_mask: jnp.ndarray,       # [Q,7], [Q]
+    ref_bin: jnp.ndarray, qry_bin: jnp.ndarray,    # [M], [Q] compact bins
     yaws: jnp.ndarray,                             # [Y]
     half_x: jnp.ndarray, half_y: jnp.ndarray,      # traced scalars
     xy_step: jnp.ndarray,
@@ -115,7 +123,7 @@ def _slidematch_kernel(
     fine_step = jnp.maximum(2.0 * ext / F, thresh / (DR - 0.5))
 
     # ---- 1. build label rasters by exact disk splatting -------------------
-    label_bin = jnp.clip(ref[:, 0].astype(jnp.int32), 0, N_LABEL_BINS - 1)
+    label_bin = jnp.clip(ref_bin, 0, N_LABEL_BINS - 1)
     base = jnp.floor((ref_xy + ext) / fine_step).astype(jnp.int32)   # [M,2]
     offs = jnp.arange(-DR, DR + 1)
     ox, oy = jnp.meshgrid(offs, offs, indexing="ij")                 # [D,D]
@@ -149,7 +157,7 @@ def _slidematch_kernel(
     R_fft = jnp.fft.rfft2(
         raster.reshape(N_LABEL_BINS, F, F).astype(jnp.float32))
 
-    q_bin = jnp.clip(qry[:, 0].astype(jnp.int32), 0, N_LABEL_BINS - 1)
+    q_bin = jnp.clip(qry_bin, 0, N_LABEL_BINS - 1)
     qv = jnp.where(qry_mask, 1.0, 0.0)
 
     def score_one_yaw(yaw):
@@ -226,11 +234,15 @@ def _slidematch_kernel(
     ref_pairs = jnp.concatenate([ref_rows[:, 0:1], ref_rows[:, 1:4]], axis=1)
     det_pairs = jnp.concatenate([qry[:, 0:1], qry[:, 1:4]], axis=1)
 
-    return MatchResult(
-        x=best_c[0], y=best_c[1], yaw=best_c[2],
-        inliers=exact_counts[best],
-        ref_pairs=ref_pairs, det_pairs=det_pairs, pair_mask=has_match,
-    )
+    # ONE packed [1+Q, 9] result: a device->host fetch costs a full tunnel
+    # round trip (~38 ms measured) regardless of size, so the scalar winner
+    # and the pair lists ship as a single transfer instead of four
+    head = jnp.zeros((1, 9), jnp.float32).at[0, :4].set(
+        jnp.stack([best_c[0], best_c[1], best_c[2],
+                   exact_counts[best].astype(jnp.float32)]))
+    body = jnp.concatenate([
+        has_match[:, None].astype(jnp.float32), ref_pairs, det_pairs], axis=1)
+    return jnp.concatenate([head, body], axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -336,21 +348,28 @@ class PlaceRecognition:
                 else _dc.replace(self.dims, max_objects=cap))
         ref_p, ref_m = _pad_objects(reference_objects, dims.max_objects)
         qry_p, qry_m = _pad_objects(query_objects, dims.max_objects)
-        res = _slidematch_kernel(
-            dims, ref_p, ref_m, qry_p, qry_m, jnp.asarray(yaws),
+        rb, qb = _compact_label_bins(reference_objects[:, 0], query_objects[:, 0])
+        rb_p = np.zeros((dims.max_objects,), np.int32)
+        rb_p[:len(rb)] = rb
+        qb_p = np.zeros((dims.max_objects,), np.int32)
+        qb_p[:len(qb)] = qb
+        packed = np.asarray(_slidematch_kernel(
+            dims, ref_p, ref_m, qry_p, qry_m,
+            jnp.asarray(rb_p), jnp.asarray(qb_p), jnp.asarray(yaws),
             jnp.float32(half_x), jnp.float32(half_y),
             jnp.float32(cfg.search_xy_step_size),
             jnp.float32(cfg.match_threshold_position),
             jnp.float32(cfg.match_threshold_dimension),
             cfg.ignore_dimension,
-        )
-        n_inliers = int(res.inliers)
+        ))                                   # ONE device->host transfer
+        res_x, res_y, res_yaw, n_inliers = packed[0, :4]
+        n_inliers = int(n_inliers)
         if n_inliers < cfg.min_num_inliers:
             return False, None, None, n_inliers
 
-        pair_mask = np.asarray(res.pair_mask)
-        ref_pts = np.asarray(res.ref_pairs)[pair_mask][:, 1:4]
-        det_pts = np.asarray(res.det_pairs)[pair_mask][:, 1:4]
+        pair_mask = packed[1:, 0] > 0.5
+        ref_pts = packed[1:, 1:5][pair_mask][:, 1:4]
+        det_pts = packed[1:, 5:9][pair_mask][:, 1:4]
         if not intra:
             ref_pts = ref_pts.copy()
             det_pts = det_pts.copy()
@@ -360,7 +379,7 @@ class PlaceRecognition:
         if cfg.use_nonlinear_least_squares and len(ref_pts) >= 3:
             tf = solve_lsq(ref_pts, det_pts)
         else:
-            tf_raw = _tf_from_xyyaw(float(res.x), float(res.y), float(res.yaw))
+            tf_raw = _tf_from_xyyaw(float(res_x), float(res_y), float(res_yaw))
             if not intra:
                 # revertCentroidShift (place_recognition.cpp:947-967)
                 h1 = np.eye(4); h1[0, 3], h1[1, 3] = cen_ref
@@ -394,12 +413,21 @@ class PlaceRecognition:
         if not found:
             return False, None
         x, y, _, yaw = xyzyaw
-        # drift correction compose (place_recognition.cpp:455-495): z forced 0
+        # drift correction compose; z forced 0 (place_recognition.cpp:470)
         lc_tf = _tf_from_xyyaw(x, y, yaw, z=0.0)
         q = se3np.matrix(np.asarray(query_pose, np.float32))
         c = se3np.matrix(np.asarray(candidate_pose, np.float32))
-        tf_qd2c = np.linalg.inv(c) @ q
-        tf_q2c = tf_qd2c @ lc_tf
+        # DELIBERATE DEVIATION from place_recognition.cpp:480-495, which
+        # composes (c^-1 q) * lc_tf. findTransformation's output is a LEFT
+        # map-frame correction (MatchMaps scores p_submap ~= lc_tf @
+        # p_query-projected, :281-357), so the corrected query pose is
+        # q* = lc_tf ∘ q and the closure relative is c^-1 ∘ lc_tf ∘ q.
+        # The reference's right-composition only agrees when lc_tf commutes
+        # with q; on a yaw-drifted loop it diverges (measured: closure
+        # translation error grows 0.5 m -> 12 m over 8 closures with the
+        # reference order vs 0.2-0.9 m with this one — see
+        # tests/test_intra_loop_closure.py::test_closure_tf_accuracy).
+        tf_q2c = np.linalg.inv(c) @ lc_tf @ q
         return True, tf_q2c
 
     def find_inter_loop_closure(self, reference_map: np.ndarray,

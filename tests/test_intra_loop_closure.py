@@ -59,3 +59,44 @@ def test_loop_closure_reduces_drift():
     ate_odom = synthetic.ate_rmse(odom, traj, align=False)
     # closure + object landmarks must beat dead reckoning clearly
     assert ate_est < ate_odom * 0.8, (ate_est, ate_odom)
+
+
+def test_closure_tf_accuracy():
+    """The accepted closure's relative pose must be close to ground truth.
+
+    Guards the composition deviation documented in
+    slidematch.find_intra_loop_closure: the corrected query pose is
+    q* = lc_tf ∘ q (LEFT map-frame correction), so the closure relative is
+    c^-1 ∘ lc_tf ∘ q — NOT the reference's (c^-1 q) ∘ lc_tf
+    (place_recognition.cpp:480-495), which diverges under yaw drift."""
+    from slide_slam_tpu.geometry import se3np
+
+    cfg = lc_cfg()
+    rng = np.random.default_rng(3)
+    world = synthetic.make_forest_world(rng, n_trees=80, n_poles=12,
+                                        n_cars=10, extent=35.0)
+    traj = synthetic.loop_trajectory(90, radius=22.0)
+    log = synthetic.make_log(world, traj, odom_drift_sigma=0.012,
+                             yaw_drift_bias=0.0015, pos_noise=0.02,
+                             dropout=0.05, max_range=18.0, seed=5)
+    dims = SlideMatchDims(t_grid=128, fine_grid=512, max_objects=256,
+                          n_yaw=24, rescore_topk=32)
+    node = SlamNode(cfg, robot_id=0, slidematch_dims=dims)
+
+    errors = []
+    orig = SlamNode.add_loop_closure_factor
+
+    def spy(self, prev_idx, r1, cur_idx, r2, rel):
+        true_rel = se3np.between(log.keyframes[prev_idx].true_pose,
+                                 log.keyframes[cur_idx].true_pose)
+        errors.append(float(np.linalg.norm(
+            np.asarray(rel)[4:7] - true_rel[4:7])))
+        return orig(self, prev_idx, r1, cur_idx, r2, rel)
+
+    node.add_loop_closure_factor = spy.__get__(node)
+    for i, kf in enumerate(log.keyframes):
+        node.process_keyframe(kf.stamp, kf.odom_pose, vars(kf))
+        if i > 60 and i % 3 == 0:
+            node.attempt_intra_loop_closure()
+    assert errors, "no closure fired"
+    assert max(errors) < 1.0, errors

@@ -148,3 +148,36 @@ def test_flax_matches_torch_logits():
     np.testing.assert_allclose(f_logits, t_logits, atol=2e-4, rtol=1e-3)
     # and the downstream label map is identical
     np.testing.assert_array_equal(f_logits.argmax(-1), t_logits.argmax(-1))
+
+
+def test_crf_learned_compat_conversion():
+    """A *learned* (non-Potts) compat 1x1 conv pulled from a torch
+    state_dict through load_crf_compat must reproduce torch's conv exactly
+    when applied as `msg @ compat + bias` (CRF.py:98-119; VERDICT r2 #8)."""
+    import torch
+
+    from slide_slam_tpu.frontend.torch_convert import load_crf_compat
+
+    C, H, W = 6, 8, 12
+    torch.manual_seed(0)
+    conv = torch.nn.Conv2d(C, C, 1)
+    sd = {f"CRF.compat_conv.{k}": v.detach().numpy()
+          for k, v in conv.state_dict().items()}
+    compat, bias = load_crf_compat(sd)
+    assert compat.shape == (C, C) and bias.shape == (C,)
+
+    msg = torch.randn(1, C, H, W)
+    want = conv(msg).detach().numpy()[0].transpose(1, 2, 0)     # [H, W, C]
+    got = np.asarray(msg.numpy()[0].transpose(1, 2, 0) @ compat + bias)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # and the full refinement head accepts it (shape/finite sanity)
+    rng = np.random.default_rng(0)
+    xyz = jnp.asarray(rng.normal(0, 1, (1, H, W, 3)).astype(np.float32))
+    sm = jax.nn.softmax(jnp.asarray(
+        rng.normal(0, 1, (1, H, W, C)).astype(np.float32)), axis=-1)
+    mask = jnp.ones((1, H, W), bool)
+    out = seg.crf_refine(xyz, sm, mask, iters=2, compat=jnp.asarray(compat),
+                         compat_bias=jnp.asarray(bias))
+    assert out.shape == (1, H, W, C)
+    np.testing.assert_allclose(np.asarray(out.sum(-1)), 1.0, atol=1e-5)

@@ -189,3 +189,35 @@ def test_reference_forest_fixture_self_match():
     found, tf = pr.find_inter_loop_closure(objs, qry)
     assert found
     check_tf(tf, x, y, yaw, tol_xy=0.6, tol_yaw=0.1)
+
+
+def test_label_values_beyond_16_bins():
+    """Label-rich maps (raw class ids >= 16, e.g. open-vocab detectors) must
+    not collide in the raster candidate ranking: compact per-call bins keep
+    distinct labels in distinct planes (VERDICT r2 weak #7)."""
+    rng = np.random.default_rng(11)
+    ref = random_objects(rng, n=70, extent=18.0, n_labels=1)
+    # raw ids 17..26 — all would previously clip into bin 15
+    ref[:, 0] = 17 + rng.integers(0, 10, len(ref))
+    x, y, yaw = 5.0, -3.5, 0.5
+    tf_inv = np.linalg.inv(
+        np.array([[np.cos(yaw), -np.sin(yaw), 0, x],
+                  [np.sin(yaw), np.cos(yaw), 0, y],
+                  [0, 0, 1, 0], [0, 0, 0, 1.0]]))
+    qry = transform_objects(ref, tf_inv[0, 3], tf_inv[1, 3],
+                            np.arctan2(tf_inv[1, 0], tf_inv[0, 0]))
+    keep = rng.uniform(size=len(qry)) < 0.8
+    qry = qry[keep]
+    qry[:, 1:3] += rng.normal(0, 0.05, (len(qry), 2))
+
+    pr = make_pr()
+    found, tf = pr.find_inter_loop_closure(ref, qry)
+    assert found
+    check_tf(tf, x, y, yaw)
+
+    # a decoy map with the SAME geometry but disjoint raw labels (27..36)
+    # must NOT match: label identity is preserved through the compact remap
+    decoy = qry.copy()
+    decoy[:, 0] += 10
+    found2, _ = pr.find_inter_loop_closure(ref, decoy)
+    assert not found2
