@@ -154,7 +154,9 @@ def find_dense_clique(M: jnp.ndarray, u0: jnp.ndarray,
         outer_cond, outer_body,
         (0, u, d0, jnp.asarray(0.0, M.dtype), False))
     omega = jnp.round(F).astype(jnp.int32)
-    return u, F, omega
+    # one packed [cap+2] result: u, F, omega — a host fetch costs a full
+    # tunnel round trip regardless of size, so ship one array, not three
+    return jnp.concatenate([u, F[None], omega.astype(M.dtype)[None]])
 
 
 def select_inliers(u: np.ndarray, omega: int) -> np.ndarray:
@@ -195,11 +197,11 @@ def dense_clique_inliers(d1: np.ndarray, d2: np.ndarray,
     rng = np.random.default_rng(seed)
     u0 = np.zeros((cap,), np.float32)
     u0[:m] = rng.uniform(size=m).astype(np.float32)
-    u, F, omega = find_dense_clique(M, jnp.asarray(u0), params)
-    u = np.asarray(u)[:m]
+    packed = np.asarray(find_dense_clique(M, jnp.asarray(u0), params))
+    u, omega = packed[:m], int(packed[-1])
     if rounding == "nonzero":
         return np.flatnonzero(u > 0.0)
     if rounding == "dsd":
         from .clipper_alternates import dsd_round
         return dsd_round(np.asarray(M)[:m, :m], u)
-    return select_inliers(u, int(omega))
+    return select_inliers(u, omega)

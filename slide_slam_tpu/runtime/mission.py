@@ -51,7 +51,8 @@ class MultiRobotMission:
         self.by_id = {n.robot_id: n for n in self.nodes}
         self.relative_meas = relative_meas or []
 
-    def run(self, intra_lc: bool = False, verbose: bool = False) -> MissionReport:
+    def run(self, intra_lc: bool = False, verbose: bool = False,
+            final_solve: bool = True) -> MissionReport:
         cfg = self.cfg
         events = []   # (stamp, order, kind, payload)
         for log in self.logs:
@@ -108,6 +109,14 @@ class MultiRobotMission:
                 print(f"[final] robot {n.robot_id} found TF to {found}")
             n.replay_peers()
             n.process_relative_factors()
+        if final_solve:
+            # finalize: one thorough solve per node (the converged budget the
+            # post-closure path uses) so exported trajectories/maps reflect
+            # the optimum rather than the last real-time incremental nudge
+            from . import engine
+            for n in self.nodes:
+                n.state = engine.solve_full(cfg, n.state)
+                n.refresh_poses()
         return MissionReport(self.nodes)
 
     def _exchange(self, now: float):

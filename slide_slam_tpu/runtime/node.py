@@ -490,12 +490,13 @@ class SlamNode:
 
     def _attempt_inter_loop_closure(self) -> List[int]:
         cfg = self.cfg
-        self.refresh_robot_map()
         found_ids = []
         peers = [rid for rid in self.dbm.records
                  if rid != self.robot_id and rid not in self.dbm.loop_closure_tf]
         if not peers:
             return found_ids
+        with phase("inter_map_refresh"):
+            self.refresh_robot_map()
         self.num_attempts_inter += 1
         ref_map = self.dbm.get_robot_map(self.robot_id)
         if len(ref_map) == 0:
@@ -505,12 +506,13 @@ class SlamNode:
             if len(qry_map) == 0:
                 continue
             t0 = time.perf_counter()
-            if cfg.use_slidematch:
-                found, tf = self.place_recognition.find_inter_loop_closure(
-                    ref_map, qry_map)
-            else:
-                found, tf = self.slidegraph.find_inter_loop_closure(
-                    ref_map, qry_map)
+            with phase("inter_search"):
+                if cfg.use_slidematch:
+                    found, tf = self.place_recognition.find_inter_loop_closure(
+                        ref_map, qry_map)
+                else:
+                    found, tf = self.slidegraph.find_inter_loop_closure(
+                        ref_map, qry_map)
             self.inter_lc_time.append(time.perf_counter() - t0)
             if found:
                 self.num_success_inter += 1

@@ -74,6 +74,7 @@ def db_len(node, rid):
     return 0 if rec is None else len(rec.packets)
 
 
+@pytest.mark.slow
 def test_robot_joins_mid_mission(logs):
     """A third robot appears halfway; lazy discovery + rebroadcast give it
     the full pre-join history of the others, and its data reaches all."""

@@ -30,6 +30,7 @@ def lc_cfg():
     )
 
 
+@pytest.mark.slow
 def test_loop_closure_reduces_drift():
     cfg = lc_cfg()
     rng = np.random.default_rng(3)
@@ -61,6 +62,7 @@ def test_loop_closure_reduces_drift():
     assert ate_est < ate_odom * 0.8, (ate_est, ate_odom)
 
 
+@pytest.mark.slow
 def test_closure_tf_accuracy():
     """The accepted closure's relative pose must be close to ground truth.
 

@@ -133,6 +133,7 @@ def make_two_logs(world, n=40, local_frames=False, offset=(8.0, 6.0)):
     return log0, log1, tf_local
 
 
+@pytest.mark.slow
 def test_prior_tf_merge(shared_world):
     """priorTFKnown path (decentralized_sloam.launch:15-18): with shared
     world frame, robot 0 folds robot 1's whole history into its graph."""

@@ -96,6 +96,7 @@ def test_bag_with_verbatim_definitions_roundtrip(tmp_path):
             b.cub_scale, a.cub_scale.reshape(-1, 3), atol=0)
 
 
+@pytest.mark.slow
 def test_mission_parity_direct_vs_reference_definition_bags(tmp_path):
     """3-robot mission replayed from bags written with the reference's
     verbatim definitions == the same mission run straight from the logs."""

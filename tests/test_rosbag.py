@@ -131,6 +131,7 @@ def test_definition_driven_parsing():
     assert msg["name"] == "hi"
 
 
+@pytest.mark.slow
 def test_bag_to_slam_end_to_end(tmp_path):
     """Converted bag drives the full SLAM node (the reference's replay)."""
     from slide_slam_tpu.config import SlamConfig

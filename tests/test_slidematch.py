@@ -132,7 +132,8 @@ def test_min_objects_gate():
 
 def test_intra_loop_closure_corrects_known_drift():
     """Body-frame measurements seen from a drifted pose: the returned
-    tfFromQuery2Candidate must equal candidate^-1 * query * drift_correction."""
+    tfFromQuery2Candidate must equal candidate^-1 * (correction * query),
+    i.e. the true relative pose from candidate to the corrected query."""
     import jax.numpy as jnp
     from slide_slam_tpu.geometry import se3
 
@@ -156,18 +157,13 @@ def test_intra_loop_closure_corrects_known_drift():
     found, tf_q2c = pr.find_intra_loop_closure(meas, world, drifted_pose,
                                                candidate)
     assert found
-    # Reference composition (place_recognition.cpp:478-495):
-    # tf = (candidate^-1 * drifted) * T_corr with T_corr the map-frame
-    # correction (true * drifted^-1, z zeroed, yaw-only rotation).
+    # Corrected composition (deviation from place_recognition.cpp:478-495,
+    # see find_intra_loop_closure): the map-frame correction T satisfies
+    # q* = T ∘ drifted, so tf_q2c = c^-1 ∘ T ∘ drifted ≈ c^-1 ∘ true — the
+    # actual relative pose from candidate to the TRUE query pose.
     t_mat = np.asarray(se3.matrix(jnp.asarray(true_pose)), np.float64)
-    d_mat = np.asarray(se3.matrix(jnp.asarray(drifted_pose)), np.float64)
     c_mat = np.asarray(se3.matrix(jnp.asarray(candidate)), np.float64)
-    corr = t_mat @ np.linalg.inv(d_mat)
-    lc = np.eye(4)
-    yaw_c = np.arctan2(corr[1, 0], corr[0, 0])
-    lc[:2, :2] = [[np.cos(yaw_c), -np.sin(yaw_c)], [np.sin(yaw_c), np.cos(yaw_c)]]
-    lc[0, 3], lc[1, 3] = corr[0, 3], corr[1, 3]
-    expect = np.linalg.inv(c_mat) @ d_mat @ lc
+    expect = np.linalg.inv(c_mat) @ t_mat
     np.testing.assert_allclose(tf_q2c[:2, 3], expect[:2, 3], atol=0.15)
 
 

@@ -30,6 +30,7 @@ def mesh8():
     return Mesh(devs, ("robot",))
 
 
+@pytest.mark.slow
 def test_spmd_step_runs_and_counts(mesh8):
     n = 8
     cfg = tiny_cfg(n)
@@ -81,6 +82,7 @@ def test_spmd_tf_gossip(mesh8):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_spmd_13_robots_compiles_bounded():
     """MAX_NUM_ROBOTS=13 (graph.h:11): with the peer fold expressed as one
     lax.scan body and the gossip hop vectorized, program size is O(1) in
@@ -110,3 +112,30 @@ def test_spmd_13_robots_compiles_bounded():
     # generous bound: the 8-robot variant compiles in a few seconds; a
     # trace that ballooned O(R) would blow far past this
     assert compile_s < 120.0, f"13-robot SPMD compile took {compile_s:.0f}s"
+
+
+@pytest.mark.slow
+def test_spmd_8dev_vs_1dev_parity(mesh8):
+    """The N decentralized replicas must agree regardless of how they are
+    laid out on hardware (decentralized_sloam.launch semantics): a 3-step
+    merged mission on the 8-device mesh must match the identical mission
+    with all 8 replicas on ONE device, per-pose (VERDICT r2 ask #4)."""
+    import __graft_entry__ as ge
+
+    n = 8
+    cfg = tiny_cfg(n)
+    st8 = ge._run_spmd_mission(mesh8, cfg, n_steps=3)
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("robot",))
+    st1 = ge._run_spmd_mission(mesh1, cfg, n_steps=3)
+
+    counts = st8.graph.pose_count
+    assert (counts == 3).all(), counts          # every peer stream merged
+    P = cfg.capacity.max_poses_per_robot
+    err = 0.0
+    for r in range(n):
+        for rr in range(n):
+            sl = slice(rr * P, rr * P + 3)
+            err = max(err, float(np.max(np.abs(
+                st8.graph.poses[r, sl] - st1.graph.poses[r, sl]))))
+    assert err < 1e-4, err
+    assert (st8.graph.cyl_count > 0).all()
