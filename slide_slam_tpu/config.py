@@ -115,8 +115,8 @@ def mission_capacity(n_keyframes_per_robot: int = 150) -> CapacityConfig:
         max_cuboids=128,
         max_points=128,
         max_cylinder_factors=20480,
-        max_cuboid_factors=1024,
-        max_point_factors=1024,
+        max_cuboid_factors=3072,
+        max_point_factors=3072,
         max_between_factors=256,
     )
 
