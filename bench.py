@@ -206,7 +206,8 @@ def bench_mission():
             for r, t in enumerate(trajs)]
     rel = _mission_relative_meas(logs, rng)
     _warm_mission_kernels(cfg, logs, rel)
-    mission = MultiRobotMission(cfg, logs, relative_meas=rel)
+    mission = MultiRobotMission(cfg, logs, relative_meas=rel,
+                                use_input_manager=True)
     n_total = sum(len(l.keyframes) for l in logs)
     profiling.phase_reset()
     t0 = time.perf_counter()
@@ -254,6 +255,66 @@ def bench_mission():
         "relative_factors": sum(n.num_rel_factors for n in report.nodes),
         "overflow_total": int(sum(overflow.values())),
         "mission_phase_ms": phases,
+    }
+
+
+def bench_mission_fixture():
+    """Mission over the reference's RECORDED object distribution (VERDICT r3
+    ask #7): the 792-object robot2 forest map
+    (clipper_semantic_object/examples/data/robot2Map_forest.txt) is the
+    landmark ground truth; three robots fly loop/lawnmower trajectories
+    through its densest stand. Same mission machinery as bench_mission."""
+    import os
+
+    from slide_slam_tpu.config import (SlamConfig, mission_capacity,
+                                       realtime_solver)
+    from slide_slam_tpu.io import synthetic
+    from slide_slam_tpu.runtime.mission import MultiRobotMission
+
+    path = ("/root/reference/backend/sloam/clipper_semantic_object/"
+            "examples/data/robot2Map_forest.txt")
+    if not os.path.exists(path):
+        return {"mission_fixture_skipped": "reference data unavailable"}
+    rng = np.random.default_rng(11)
+    world = synthetic.world_from_reference_map(path, rng)
+    cfg = SlamConfig(number_of_robots=3, capacity=mission_capacity(150),
+                     solver=realtime_solver())
+    # densest stand of the recorded map: x in [3, 64], y in [-18, 30]
+    trajs = [
+        synthetic.loop_trajectory(150, radius=13.0, laps=2.0),
+        synthetic.lawnmower_trajectory(150, extent=30.0, rows=3, step=1.4),
+        synthetic.lawnmower_trajectory(150, extent=36.0, rows=4, step=1.4),
+    ]
+    offsets = (np.array([30.0, 0.0, 0.0]), np.array([18.0, -10.0, 0.0]),
+               np.array([25.0, -5.0, 0.0]))
+    for t, off in zip(trajs, offsets):
+        t[:, 4:7] = t[:, 4:7] + off[None, :].astype(t.dtype)
+    logs = [synthetic.make_log(world, t, robot_id=r, seed=13 + r,
+                               odom_drift_sigma=0.012, pos_noise=0.03,
+                               dropout=0.1, yaw_drift_bias=0.0008)
+            for r, t in enumerate(trajs)]
+    rel = _mission_relative_meas(logs, rng)
+    _warm_mission_kernels(cfg, logs, rel)
+    mission = MultiRobotMission(cfg, logs, relative_meas=rel,
+                                use_input_manager=True)
+    n_total = sum(len(l.keyframes) for l in logs)
+    t0 = time.perf_counter()
+    report = mission.run(intra_lc=True)
+    dt = time.perf_counter() - t0
+    ates = []
+    for node, log, traj in zip(report.nodes, logs, trajs):
+        est = node.optimized_trajectory()
+        n = len(est)
+        ates.append(synthetic.ate_rmse(est, traj[:n], align=False))
+    return {
+        "mission_fixture_kf_per_sec": n_total / dt,
+        "mission_fixture_wall_s": dt,
+        "mission_fixture_ate_m": float(np.mean(ates)),
+        "mission_fixture_world_objects": len(world.cyl_root),
+        "mission_fixture_intra_lc": sum(n.num_success_intra
+                                        for n in report.nodes),
+        "mission_fixture_merged_pairs": sum(len(n.dbm.loop_closure_tf)
+                                            for n in report.nodes),
     }
 
 
@@ -418,6 +479,11 @@ def bench_scale():
     fetch_floor = (time.perf_counter() - t0) / 5
     out["fetch_floor_ms"] = round(fetch_floor * 1e3, 1)
 
+    import functools as _ft
+
+    import jax.tree_util as jtu
+    from slide_slam_tpu.factorgraph import schur, solver as _solver
+
     for name, cfg in [
         ("default", SlamConfig(number_of_robots=1)),
         ("mission", SlamConfig(number_of_robots=3,
@@ -426,20 +492,61 @@ def bench_scale():
                                   capacity=demo_scale_capacity())),
     ]:
         s0 = _fill_state(cfg, rng)
+
+        # device-true per-solve time: N incremental solves inside ONE jitted
+        # fori_loop, differenced across two N (8 vs 208). Per-dispatch tunnel
+        # overhead is ~1.7-2.7 ms (measured r4) and fetch jitter is tens of
+        # ms, so chained per-call timing would be dominated by the harness —
+        # the loop-differencing isolates pure device time, which is what
+        # bounds mission throughput (dispatches pipeline under compute).
+        sc = cfg.solver
+        solve_fn = (schur.solve if sc.use_schur
+                    else _ft.partial(_solver.solve,
+                                     block_precond=sc.use_block_jacobi))
+
+        @_ft.partial(jax.jit, donate_argnames=("s",), static_argnames=("n",))
+        def _loop(s, n, cfg=cfg, solve_fn=solve_fn):
+            def body(_, s):
+                return solve_fn(
+                    s, cyl_sigma=cfg.noise.cylinder,
+                    bearing_sigma=cfg.noise.bearing,
+                    outer_iters=jnp.int32(sc.incremental_outer_iterations),
+                    pcg_iters=jnp.int32(sc.incremental_pcg_iterations),
+                    pcg_tol=jnp.float32(sc.incremental_pcg_tol),
+                    line_search=False)
+            return jax.lax.fori_loop(0, n, body, s)
+
+        st = _loop(jtu.tree_map(jnp.copy, s0), 2)
+        _ = jax.device_get(st.pose_count[0])
+        laps = {}
+        for n in (8, 208):
+            best = 1e9
+            for _ in range(2):
+                st = jtu.tree_map(jnp.copy, s0)
+                t0 = time.perf_counter()
+                st = _loop(st, n)
+                _ = jax.device_get(st.pose_count[0])
+                best = min(best, time.perf_counter() - t0)
+            laps[n] = best
+        # the fetch floor and dispatch overhead cancel in the difference
+        ms = 1000.0 * (laps[208] - laps[8]) / 200
+
+        # dispatch-inclusive round-trip (the deployment per-call latency)
         s0 = engine.solve_incremental(cfg, s0)       # compile + warm
         _ = jax.device_get(s0.pose_count[0])
         n = 10
         dt, _ = _timed_device(
             lambda st: engine.solve_incremental(cfg, st if st is not None else s0),
             lambda st: st.pose_count[0], n)
-        ms = 1000.0 * (dt - fetch_floor) / n
+        out[f"solve_dispatch_ms_{name}"] = round(
+            1000.0 * (dt - fetch_floor) / n, 2)
 
-        # XLA compiler cost model for the SAME executable (not analytic)
-        sc = cfg.solver
+        # XLA compiler cost model for the SAME executable (not analytic);
+        # lowered from avals only, BEFORE the solve donates s0's buffers
         lowered = engine._solve_budget.lower(
             cfg, s0, jnp.int32(sc.incremental_outer_iterations),
             jnp.int32(sc.incremental_pcg_iterations),
-            jnp.float32(sc.incremental_pcg_tol))
+            jnp.float32(sc.incremental_pcg_tol), line_search=False)
         ca = lowered.compile().cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
@@ -457,14 +564,16 @@ def bench_scale():
             out["solve_hbm_utilization"] = round(
                 bts / (ms / 1e3) / 1e9 / V5E_HBM_GBPS, 3)
             out["solve_bound"] = (
-                "scatter/gather-latency bound: XLA moves "
-                f"{bts / 1e9:.2f} GB/solve; at the {V5E_HBM_GBPS:.0f} GB/s "
-                "HBM roofline that is "
-                f"{bts / V5E_HBM_GBPS / 1e6:.1f} ms vs {ms:.1f} ms measured "
-                "- the gap is TPU scatter-add serialization in the PCG "
-                "matvec (profiled fusion.1148), not FLOPs "
+                "per-factor-op bound (no scatter: Schur landmark "
+                "elimination + one-hot MXU reductions, factorgraph/"
+                f"schur.py): XLA moves {bts / 1e9:.2f} GB/solve; the "
+                f"{V5E_HBM_GBPS:.0f} GB/s HBM roofline gives "
+                f"{bts / V5E_HBM_GBPS / 1e6:.1f} ms vs {ms:.1f} ms "
+                "measured - the remaining gap is (8,128)-tile lane waste "
+                "on [F,9,6]-shaped per-factor Jacobian blocks, not FLOPs "
                 f"({flops / (ms / 1e3) / 1e9:.1f} GF/s of "
-                f"{V5E_BF16_PEAK_TFLOPS * 1e3:.0f} GF/s peak)")
+                f"{V5E_BF16_PEAK_TFLOPS * 1e3:.0f} GF/s peak) and not "
+                "scatter serialization")
     return out
 
 
@@ -585,6 +694,7 @@ def main():
     from slide_slam_tpu.config import SlamConfig
     spmd = bench_spmd(SlamConfig(number_of_robots=3))
     mission = bench_mission()
+    fixture = bench_mission_fixture()
     scale = bench_scale()
     device = bench_device_truth()
     net = bench_net()
@@ -596,7 +706,7 @@ def main():
         "vs_baseline": round(solo["kf_per_sec"] / 5.0, 2),
         "extra": _round({**{k: v for k, v in solo.items()
                             if k != "kf_per_sec"},
-                         **mission, **pr, **spmd, **scale, **device,
+                         **mission, **fixture, **pr, **spmd, **scale, **device,
                          **net}, 4),
     }
     print(json.dumps(result))

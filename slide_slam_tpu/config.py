@@ -82,21 +82,11 @@ class CapacityConfig:
 def realtime_solver() -> SolverConfig:
     """Real-time per-keyframe solve tier for mission deployment.
 
-    The warm-started chain needs only a few PCG steps per keyframe: each
-    solve nudges the estimate and the thorough post-closure `solve_full`
-    (unchanged 16x256 budget) recovers converged accuracy. Measured on the
-    demo mission workload (TPU v5e, 768-pose/18k-factor graph):
-
-        pcg=64 tol=1e-3: 33 ms/kf  live ATE 0.098  post-closure 0.090
-        pcg=16 tol=1e-2: 12 ms/kf  live ATE 0.232  post-closure 0.151
-        pcg= 8 tol=1e-2:  8 ms/kf  live ATE 0.190  post-closure 0.132
-
-    The default SolverConfig keeps the high-fidelity budget (the
-    incremental-vs-converged <=5 cm proof, test_solver_vs_reference.py);
-    this tier trades ~0.1 m of LIVE estimate error (well under the 1-2 m
-    data-association gates) for 3x keyframe throughput — the reference's
-    5 Hz x 3-robot real-time envelope."""
-    return SolverConfig(incremental_pcg_iterations=16,
+    With the Schur-reduced solver the default incremental budget (8 PCG
+    iterations) is already real-time; this tier only loosens the early-exit
+    tolerance (closure-quality accuracy is recovered by the thorough
+    post-closure `solve_full`, unchanged 16x256 budget)."""
+    return SolverConfig(incremental_pcg_iterations=8,
                         incremental_pcg_tol=1e-2)
 
 
@@ -154,11 +144,20 @@ class SolverConfig:
     # Defaults picked on the TPU bench workload: one linearization + deeper
     # PCG dominates two shallow outer iterations on both ATE and wall time.
     incremental_outer_iterations: int = 1
-    incremental_pcg_iterations: int = 64
+    # Schur-reduced PCG converges the warm-started per-keyframe system in
+    # a handful of iterations (landmark elimination + Jacobi scaling);
+    # validated by the <=5 cm incremental-vs-converged proof
+    # (tests/test_solver_vs_reference.py) at this budget
+    incremental_pcg_iterations: int = 8
     incremental_pcg_tol: float = 1e-3
     # Block-Jacobi (per-variable dense blocks of J^T J) preconditioner:
     # fewer PCG iterations per solve at a small per-iteration setup cost
     use_block_jacobi: bool = False
+    # Schur-complement landmark elimination (factorgraph/schur.py): PCG on
+    # the reduced pose-only system, landmarks back-substituted in closed
+    # form (SURVEY §7 stage 4). Default for single-device solves; the
+    # factor-sharded SPMD path keeps the unified-variable solver.
+    use_schur: bool = True
 
 
 @dataclass(frozen=True)

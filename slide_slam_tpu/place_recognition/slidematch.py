@@ -255,6 +255,11 @@ def _yaw_candidates(half_deg: float, step_deg: float, disable: bool,
     if disable:
         return np.zeros((1,), np.float32)
     ys = np.arange(-half_deg, half_deg - 1e-9, step_deg, dtype=np.float32)
+    if 0.0 not in ys:
+        # always test the identity yaw: arange(-10, 10, 15) = [-10, 5]
+        # misses 0, and an intra query is usually NEAR identity — without
+        # it the raster winner sits a whole yaw step off
+        ys = np.sort(np.concatenate([ys, np.zeros((1,), np.float32)]))
     if len(ys) == 0:
         ys = np.zeros((1,), np.float32)
     if len(ys) > n_max:
@@ -286,6 +291,36 @@ def solve_lsq(ref_pts: np.ndarray, det_pts: np.ndarray):
     return tf
 
 
+def _icp_refine(tf: np.ndarray, ref: np.ndarray, qry: np.ndarray, cfg,
+                iters: int = 3):
+    """Re-match object pairs at the current TF and re-fit, a few rounds.
+
+    ref/qry: [*, 7] rows [label, x, y, z, d1, d2, d3] in the ORIGINAL
+    (unshifted) frame; tf maps query positions onto reference positions.
+    Matching mirrors the kernel's exact-rescore gates: same label, xy
+    distance < match_threshold_position, dimension gate unless ignored."""
+    if len(ref) == 0 or len(qry) == 0:
+        return tf, 0
+    label_eq = ref[None, :, 0] == qry[:, None, 0]
+    if not cfg.ignore_dimension:
+        cyl_like = (ref[:, 5] == 0) & (ref[:, 6] == 0)
+        dd = np.abs(ref[None, :, 4:7] - qry[:, None, 4:7])
+        avg_dd = np.where(cyl_like[None, :], dd[:, :, 0], dd.mean(-1))
+        label_eq = label_eq & (avg_dd < cfg.match_threshold_dimension)
+    n_ok = 0
+    for _ in range(iters):
+        q = qry[:, 1:4] @ tf[:3, :3].T + tf[:3, 3]
+        d = np.linalg.norm(q[:, None, :2] - ref[None, :, 1:3], axis=-1)
+        d = np.where(label_eq, d, np.inf)
+        j = np.argmin(d, axis=1)
+        ok = d[np.arange(len(qry)), j] < cfg.match_threshold_position
+        if int(ok.sum()) < 3:
+            break
+        n_ok = int(ok.sum())
+        tf = solve_lsq(ref[j[ok], 1:4], qry[ok, 1:4])
+    return tf, n_ok
+
+
 def _tf_from_xyyaw(x, y, yaw, z=0.0):
     tf = np.eye(4)
     c, s = np.cos(yaw), np.sin(yaw)
@@ -314,6 +349,8 @@ class PlaceRecognition:
         query_objects = np.asarray(query_objects, np.float32).reshape(-1, 7)
         if len(reference_objects) == 0 or len(query_objects) == 0:
             return False, None, None, 0
+        orig_ref = reference_objects
+        orig_qry = query_objects
 
         cen_ref = np.zeros(2)
         cen_qry = np.zeros(2)
@@ -378,6 +415,19 @@ class PlaceRecognition:
 
         if cfg.use_nonlinear_least_squares and len(ref_pts) >= 3:
             tf = solve_lsq(ref_pts, det_pts)
+            # Iterative re-match + re-fit on EXACT object positions
+            # (DEVIATION, documented in PARITY.md: the reference fits once
+            # on the raster-TF pair set, place_recognition.cpp:632-695).
+            # The raster TF can sit a yaw step off the true rotation — the
+            # pair set then keeps only small-lever-arm (near-center)
+            # matches and the single fit inherits a systematic rotation
+            # error (measured 3-6 deg, 0.3-0.7 m at submap edges, enough to
+            # make a 1e-3-sigma closure factor DEGRADE the trajectory).
+            # 2-3 ICP rounds pull the far objects back into the pair set
+            # and converge to the full-lever-arm alignment (~0.1 m / <1 deg
+            # on the mission bench).
+            tf, n_ref = _icp_refine(tf, orig_ref, orig_qry, cfg)
+            n_inliers = max(n_inliers, n_ref)
         else:
             tf_raw = _tf_from_xyyaw(float(res_x), float(res_y), float(res_yaw))
             if not intra:

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SlamConfig
-from ..factorgraph import solver
+from ..factorgraph import schur, solver
 from ..factorgraph.graph import GraphState
 from ..geometry import se3
 from ..objects import Cuboids, Cylinders, Ellipsoids
@@ -130,14 +130,17 @@ def keyframe_step_fused(
     s, out = _keyframe_body(cfg, state, robot_id, pose_est, rel, cyl, cub,
                             ell, drop_detections, jnp.asarray(False),
                             odom_noise, cube_noise, enable_solve=False)
-    s = solver.solve(
+    solve_fn = functools.partial(
+        schur.solve if cfg.solver.use_schur else solver.solve,
+        block_precond=cfg.solver.use_block_jacobi)
+    s = solve_fn(
         s,
         cyl_sigma=cfg.noise.cylinder,
         bearing_sigma=cfg.noise.bearing,
         outer_iters=solver_budget[0].astype(jnp.int32),
         pcg_iters=solver_budget[1].astype(jnp.int32),
         pcg_tol=solver_budget[2],
-        block_precond=cfg.solver.use_block_jacobi,
+        line_search=False,   # warm-started per-keyframe path (iSAM2 analog)
     )
     return s, out._replace(pose=s.poses[out.slot])
 
@@ -381,14 +384,17 @@ def _keyframe_body(cfg, state, robot_id, pose_estimate, rel_odom, scan_cyl,
 
     # ---- solve (graph.cpp:260-272 -> batched GN, solver.py) --------------
     def run_solve(st):
-        return solver.solve(
+        solve_fn = functools.partial(
+            schur.solve if cfg.solver.use_schur else solver.solve,
+            block_precond=cfg.solver.use_block_jacobi)
+        return solve_fn(
             st,
             cyl_sigma=cfg.noise.cylinder,
             bearing_sigma=cfg.noise.bearing,
             outer_iters=cfg.solver.incremental_outer_iterations,
             pcg_iters=cfg.solver.pcg_max_iterations,
             pcg_tol=cfg.solver.pcg_tol,
-            block_precond=cfg.solver.use_block_jacobi,
+            line_search=False,   # per-keyframe path (iSAM2 analog)
         )
 
     if enable_solve:
@@ -408,9 +414,21 @@ def _keyframe_body(cfg, state, robot_id, pose_estimate, rel_odom, scan_cyl,
     return s, out
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+@functools.partial(jax.jit, static_argnames=("cfg", "line_search"),
+                   donate_argnames=("state",))
 def _solve_budget(cfg: SlamConfig, state: GraphState, outer_iters, pcg_iters,
-                  pcg_tol) -> GraphState:
+                  pcg_tol, line_search: bool = True) -> GraphState:
+    if cfg.solver.use_schur:
+        return schur.solve(
+            state,
+            cyl_sigma=cfg.noise.cylinder,
+            bearing_sigma=cfg.noise.bearing,
+            outer_iters=outer_iters,
+            pcg_iters=pcg_iters,
+            pcg_tol=pcg_tol,
+            line_search=line_search,
+            block_precond=cfg.solver.use_block_jacobi,
+        )
     return solver.solve(
         state,
         cyl_sigma=cfg.noise.cylinder,
@@ -419,11 +437,12 @@ def _solve_budget(cfg: SlamConfig, state: GraphState, outer_iters, pcg_iters,
         pcg_iters=pcg_iters,
         pcg_tol=pcg_tol,
         block_precond=cfg.solver.use_block_jacobi,
+        line_search=line_search,
     )
 
 
 def solve_full(cfg: SlamConfig, state: GraphState) -> GraphState:
-    """Thorough solve — after loop closures / merges."""
+    """Thorough solve — after loop closures / merges (guarded line search)."""
     return _solve_budget(cfg, state,
                          jnp.int32(cfg.solver.max_outer_iterations),
                          jnp.int32(cfg.solver.pcg_max_iterations),
@@ -431,12 +450,14 @@ def solve_full(cfg: SlamConfig, state: GraphState) -> GraphState:
 
 
 def solve_incremental(cfg: SlamConfig, state: GraphState) -> GraphState:
-    """Warm-started per-keyframe solve (iSAM2-equivalent budget). Shares
-    the compiled graph with solve_full — budgets are traced scalars."""
+    """Warm-started per-keyframe solve (iSAM2-equivalent budget): damped GN
+    step applied without a cost sweep, like isam2->update + calculateEstimate
+    (graph.cpp:260-272)."""
     return _solve_budget(cfg, state,
                          jnp.int32(cfg.solver.incremental_outer_iterations),
                          jnp.int32(cfg.solver.incremental_pcg_iterations),
-                         jnp.float32(cfg.solver.incremental_pcg_tol))
+                         jnp.float32(cfg.solver.incremental_pcg_tol),
+                         line_search=False)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

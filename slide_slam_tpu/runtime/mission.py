@@ -8,9 +8,28 @@ every `communication_wait_time` seconds of sim time, inter/intra
 place-recognition attempts at their configured frequencies, and relative
 inter-robot factor generation at 1 Hz — the same event structure the
 reference builds from ROS timers (inputNode.cpp:16, databaseManager.cpp:14,
-sloamNode.cpp:46-48)."""
+sloamNode.cpp:46-48).
+
+Two runtime modes:
+* `async_runtime=True` (default): loop-closure searches and mirror fetches
+  run on a worker pool concurrently with keyframe dispatches — the
+  reference's 3-detached-thread model (sloamNode.cpp:100-119). Results are
+  applied at event boundaries on the main thread, like the reference's
+  mutex-guarded factor insertion.
+* `async_runtime=False`: every path inline + blocking — deterministic,
+  used by replay-parity tests.
+
+Measurement routing: `use_input_manager=True` feeds the raw streams
+through each robot's InputManager queues (`on_observation`/
+`on_relative_measurement` + `tick` at `main_node_rate`), exercising the
+reference's scheduler discipline (msg_delay_tolerance, odometry
+downsampling, PickNextMeasurementToAdd — inputNode.cpp:88-186) under the
+mission clock. The direct mode calls `process_keyframe` straight away
+(stamp order identical; a parity test asserts equal trajectories).
+"""
 from __future__ import annotations
 
+from concurrent.futures import Future, ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence
 
@@ -20,8 +39,9 @@ from ..config import SlamConfig
 from ..io.synthetic import RobotLog
 from ..place_recognition.slidematch import SlideMatchDims
 from . import scheduler
+from .input_manager import InputManager
 from .node import SlamNode
-from .profiling import phase
+from .profiling import phase, phase_add
 
 
 @dataclass
@@ -37,20 +57,60 @@ class MultiRobotMission:
                  prior_tf_known: bool = False,
                  prior_tf_xyz: Optional[dict] = None,
                  slidematch_dims: Optional[SlideMatchDims] = None,
-                 relative_meas: Optional[List] = None):
+                 relative_meas: Optional[List] = None,
+                 async_runtime: bool = True,
+                 use_input_manager: bool = False,
+                 use_native_queues: bool = False):
         """relative_meas: optional list of (receiving_robot_id,
         scheduler.RelativeMeas) AprilTag-style sightings to inject."""
         self.cfg = cfg
         self.logs = list(logs)
+        self.pool = (ThreadPoolExecutor(
+            max_workers=max(2, len(self.logs)),
+            thread_name_prefix="slam-worker") if async_runtime else None)
         self.nodes = [
             SlamNode(cfg, log.robot_id, prior_tf_known=prior_tf_known,
                      prior_tf_xyz=(prior_tf_xyz or {}).get(log.robot_id),
-                     slidematch_dims=slidematch_dims)
+                     slidematch_dims=slidematch_dims, pool=self.pool)
             for log in self.logs
         ]
         self.by_id = {n.robot_id: n for n in self.nodes}
         self.relative_meas = relative_meas or []
+        self.use_input_manager = use_input_manager
+        if use_input_manager:
+            self.input_managers = {
+                n.robot_id: InputManager(cfg, n, use_native=use_native_queues)
+                for n in self.nodes}
+        # pending async LC jobs: (robot_id, kind) -> Future
+        self._jobs: Dict[tuple, Future] = {}
 
+    # ------------------------------------------------------------------
+    # Async job plumbing
+    # ------------------------------------------------------------------
+    def _drain_jobs(self, block: bool = False):
+        """Apply finished worker results on the main thread (the
+        reference applies LC results under the factor-graph mutex)."""
+        done = []
+        for key, fut in self._jobs.items():
+            if block or fut.done():
+                done.append(key)
+        for key in done:
+            fut = self._jobs.pop(key)
+            rid, kind = key
+            node = self.by_id[rid]
+            res = fut.result()
+            if kind == "intra":
+                with phase("intra_apply"):
+                    node._apply_intra_result(res)
+            elif kind == "inter":
+                with phase("inter_apply"):
+                    node._apply_inter_result(res)
+
+    def _submit(self, rid: int, kind: str, fut: Optional[Future]):
+        if fut is not None:
+            self._jobs[(rid, kind)] = fut
+
+    # ------------------------------------------------------------------
     def run(self, intra_lc: bool = False, verbose: bool = False,
             final_solve: bool = True) -> MissionReport:
         cfg = self.cfg
@@ -62,6 +122,14 @@ class MultiRobotMission:
             events.append((meas.stamp, 1, "relative", (rid, meas)))
         t0 = min(e[0] for e in events)
         t1 = max(e[0] for e in events)
+        if self.use_input_manager:
+            # main-loop ticks at main_node_rate (inputNode.cpp:16); the
+            # trailing ticks flush entries younger than msg_delay_tolerance
+            tick_dt = 1.0 / cfg.main_node_rate
+            for t in np.arange(t0 + tick_dt,
+                               t1 + cfg.msg_delay_tolerance + 2 * tick_dt,
+                               tick_dt):
+                events.append((float(t), 1.5, "tick", None))
         for t in np.arange(t0, t1 + 1e-6, cfg.communication_wait_time):
             events.append((float(t), 2, "comm", None))
         lc_period = 1.0 / cfg.inter_robot_place_recognition_frequency
@@ -76,37 +144,68 @@ class MultiRobotMission:
             events.append((float(t), 5, "rel_factor", None))
         events.sort(key=lambda e: (e[0], e[1]))
 
+        asyncmode = self.pool is not None
         for stamp, _, kind, payload in events:
+            if asyncmode:
+                self._drain_jobs()
             if kind == "keyframe":
                 rid, kf = payload
-                self.by_id[rid].process_keyframe(kf.stamp, kf.odom_pose,
-                                                 vars(kf))
+                if self.use_input_manager:
+                    self.input_managers[rid].on_observation(
+                        kf.stamp, kf.odom_pose, vars(kf))
+                else:
+                    self.by_id[rid].process_keyframe(kf.stamp, kf.odom_pose,
+                                                     vars(kf))
+            elif kind == "tick":
+                for im in self.input_managers.values():
+                    im.tick(stamp)
             elif kind == "relative":
                 rid, meas = payload
-                if not meas.only_use_odom:
+                if self.use_input_manager:
+                    self.input_managers[rid].on_relative_measurement(meas)
+                elif not meas.only_use_odom:
                     self.by_id[rid].add_relative_measurement(meas)
             elif kind == "comm":
                 self._exchange(stamp)
             elif kind == "inter_lc":
                 for n in self.nodes:
-                    found = n.attempt_inter_loop_closure()
-                    if found and verbose:
-                        print(f"[t={stamp:.1f}] robot {n.robot_id} found TF "
-                              f"to {found}")
+                    if asyncmode:
+                        if (n.robot_id, "inter") not in self._jobs:
+                            self._submit(n.robot_id, "inter",
+                                         n.submit_inter_loop_closure())
+                    else:
+                        found = n.attempt_inter_loop_closure()
+                        if found and verbose:
+                            print(f"[t={stamp:.1f}] robot {n.robot_id} found "
+                                  f"TF to {found}")
             elif kind == "intra_lc":
                 for n in self.nodes:
-                    n.attempt_intra_loop_closure()
+                    if asyncmode:
+                        if (n.robot_id, "intra") not in self._jobs:
+                            self._submit(n.robot_id, "intra",
+                                         n.submit_intra_loop_closure())
+                    else:
+                        n.attempt_intra_loop_closure()
             elif kind == "rel_factor":
                 for n in self.nodes:
                     n.process_relative_factors()
 
-        # final flush: one last exchange + merge so trailing keyframes that
-        # arrived after the last comm tick are folded in everywhere
+        # final flush: drain workers, then one last exchange + merge so
+        # trailing keyframes that arrived after the last comm tick are
+        # folded in everywhere
+        if asyncmode:
+            self._drain_jobs(block=True)
         self._exchange(t1 + 10 * cfg.communication_wait_time)
         for n in self.nodes:
-            found = n.attempt_inter_loop_closure()
-            if found and verbose:
-                print(f"[final] robot {n.robot_id} found TF to {found}")
+            if asyncmode:
+                self._submit(n.robot_id, "inter", n.submit_inter_loop_closure())
+            else:
+                found = n.attempt_inter_loop_closure()
+                if found and verbose:
+                    print(f"[final] robot {n.robot_id} found TF to {found}")
+        if asyncmode:
+            self._drain_jobs(block=True)
+        for n in self.nodes:
             n.replay_peers()
             n.process_relative_factors()
         if final_solve:
@@ -116,6 +215,8 @@ class MultiRobotMission:
             from . import engine
             for n in self.nodes:
                 n.state = engine.solve_full(cfg, n.state)
+            for n in self.nodes:
+                n.collect_pose_refresh(block=False)
                 n.refresh_poses()
         return MissionReport(self.nodes)
 
@@ -126,11 +227,20 @@ class MultiRobotMission:
             self._exchange_inner(now)
 
     def _exchange_inner(self, now: float):
-        all_bundles = []
-        for n in self.nodes:
-            if n.dbm.should_communicate(now):
+        communicating = [n for n in self.nodes if n.dbm.should_communicate(now)]
+        if self.pool is not None:
+            # kick all compact-map refreshes first so their device programs
+            # queue together and the worker fetches overlap ONE backlog
+            # drain instead of N serial ones
+            for n in communicating:
+                n.request_map_refresh()
+            for n in communicating:
+                n.collect_map_refresh(block=True)
+        else:
+            for n in communicating:
                 n.refresh_robot_map()
-                all_bundles.append((n.robot_id, n.dbm.make_bundles(now)))
+        all_bundles = [(n.robot_id, n.dbm.make_bundles(now))
+                       for n in communicating]
         for sender, bundles in all_bundles:
             for n in self.nodes:
                 if n.robot_id == sender:

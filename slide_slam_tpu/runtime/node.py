@@ -5,10 +5,20 @@ The orchestration layer of the reference's SLOAMNode + InputManager
 measurements, drives the jitted keyframe step, runs the loop-closure and
 map-merge paths, and keeps the host-side database (timestamps + body-frame
 measurement packets — the PoseMstPair deque of databaseManager.h:45-73).
+
+Async runtime (the reference's 3-detached-thread model,
+sloamNode.cpp:100-119): when the node is given a `pool`
+(ThreadPoolExecutor), device->host mirror fetches and the loop-closure
+searches run on worker threads while the main loop keeps dispatching
+keyframes — device fetches drain the queued backlog in the worker, not on
+the mission clock. With `pool=None` every path is synchronous and
+deterministic (the mode parity tests use).
 """
 from __future__ import annotations
 
+import threading
 import time
+from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Dict, List, Optional
 
 import jax.numpy as jnp
@@ -30,6 +40,13 @@ def _np(x):
     return np.asarray(x, np.float32)
 
 
+def _filter_compact_rows(rows_dev) -> np.ndarray:
+    """Worker-thread tail of the compact-map refresh: fetch + validity
+    filter (the [*, 7] > 0.5 column is the device-side valid flag)."""
+    rows = np.asarray(rows_dev)
+    return np.ascontiguousarray(rows[rows[:, 7] > 0.5, :7], np.float32)
+
+
 import jax
 
 
@@ -47,9 +64,14 @@ class SlamNode:
     def __init__(self, cfg: SlamConfig, robot_id: int,
                  prior_tf_known: bool = False,
                  prior_tf_xyz: Optional[np.ndarray] = None,
-                 slidematch_dims: Optional[SlideMatchDims] = None):
+                 slidematch_dims: Optional[SlideMatchDims] = None,
+                 pool: Optional[ThreadPoolExecutor] = None):
         self.cfg = cfg
         self.robot_id = robot_id
+        self.pool = pool
+        self._pose_future: Optional[tuple] = None   # (n_at_snapshot, Future)
+        self._map_future: Optional[Future] = None
+        self._map_lock = threading.Lock()
         self.state: GraphState = empty_state(cfg)
         self.dbm = DatabaseManager(
             robot_id, cfg.number_of_robots,
@@ -156,10 +178,68 @@ class SlamNode:
             self._xyz_hist[i] = chain[i, 4:7]
         self._kf_since_refresh = 0
 
+    # ------------------------------------------------------------------
+    # Async mirror refreshes (worker-thread device fetches)
+    # ------------------------------------------------------------------
+    def _snapshot_poses(self):
+        """Device-side copy of the pose array, dispatched NOW: safe to
+        fetch from a worker thread later even though the live state buffers
+        get donated by subsequent keyframe dispatches."""
+        return jnp.copy(self.state.poses)
+
+    def request_pose_refresh(self):
+        """Non-blocking refresh_poses: consume a finished background fetch
+        (rebasing the mirrors), then start a new one. Falls back to the
+        blocking fetch when no pool is configured."""
+        if self.pool is None:
+            self.refresh_poses()
+            return
+        self.collect_pose_refresh(block=False)
+        if self._pose_future is None and self.key_poses:
+            snap = self._snapshot_poses()
+            self._pose_future = (len(self.key_poses),
+                                 self.pool.submit(np.asarray, snap))
+
+    def collect_pose_refresh(self, block: bool = True):
+        """Fold a completed background pose fetch into the host mirrors.
+        Poses appended AFTER the snapshot are re-composed onto the
+        refreshed chain (their odometry tail is rebased), so the mirror
+        stays internally consistent."""
+        if self._pose_future is None:
+            return False
+        n, fut = self._pose_future
+        if not block and not fut.done():
+            return False
+        t0 = time.perf_counter()
+        chain_full = fut.result()
+        phase_add("pose_fetch_wait", time.perf_counter() - t0)
+        self._pose_future = None
+        P = self.cfg.capacity.max_poses_per_robot
+        base = self.robot_id * P
+        chain = chain_full[base:base + n]
+        if n == 0 or not self.key_poses:
+            return True
+        old_anchor = self.key_poses[n - 1]
+        for i in range(min(n, len(self.key_poses))):
+            self.key_poses[i] = chain[i]
+            self._xyz_hist[i] = chain[i, 4:7]
+        # rebase the odometry-composed tail onto the refreshed chain
+        if len(self.key_poses) > n:
+            shift = se3np.compose(chain[n - 1], se3np.inverse(old_anchor))
+            for i in range(n, len(self.key_poses)):
+                p = se3np.compose(shift, self.key_poses[i])
+                self.key_poses[i] = p
+                self._xyz_hist[i] = p[4:7]
+        self._kf_since_refresh = 0
+        return True
+
     def _maybe_refresh_poses(self):
         self._kf_since_refresh += 1
         if self._kf_since_refresh >= self.pose_refresh_every:
-            self.refresh_poses()
+            if self.pool is not None:
+                self.request_pose_refresh()
+            else:
+                self.refresh_poses()
 
     def rebuild_mirrors(self):
         """Re-derive host mirrors after key_poses / the database were
@@ -330,7 +410,7 @@ class SlamNode:
                 maybe_block(self.state.poses)
             self.fg_time.append(time.perf_counter() - t1)
             if first_fold:
-                self.refresh_poses()
+                self.request_pose_refresh()
 
     # ------------------------------------------------------------------
     # Loop-closure paths
@@ -355,63 +435,6 @@ class SlamNode:
         return bool(np.any((dxy <= cfg.lc_max_dist_xy)
                            & (dz <= cfg.lc_max_dist_z) & old))
 
-    def _loop_candidate_idx(self, pose_idx: int) -> Optional[int]:
-        """getLoopCandidateIdx (cylinderMapManager.cpp:160-184): nearest pose
-        within 15 m that is >= 50 poses older. Host xyz mirror (refreshed
-        from the device at the start of every intra attempt)."""
-        cfg = self.cfg
-        n = len(self.key_poses)
-        if n < 50:
-            return None
-        xyz = np.asarray(self._xyz_hist[:n])
-        d = np.linalg.norm(xyz - xyz[pose_idx], axis=1)
-        eligible = ((d <= cfg.lc_candidate_max_dist)
-                    & (pose_idx - np.arange(n) > cfg.lc_candidate_min_poses_old))
-        if not np.any(eligible):
-            return None
-        d = np.where(eligible, d, np.inf)
-        return int(np.argmin(d))
-
-    def _keypose_submap_rows(self, pose: np.ndarray, radius: float) -> np.ndarray:
-        """getkeyPoseSubmap x3 -> Vector7d rows (sloamNode.cpp:420-437,
-        prepareLCInput :544-576). Includes the hard-coded 1.5 m z gate for
-        cylinders (cylinderMapManager.cpp:186-211)."""
-        s = self.state
-        q = _np(pose)[4:7]
-        rows = []
-        nc = int(s.cyl_count)
-        if nc:
-            root = np.asarray(s.cyl_root)[:nc]
-            # Cylinder::distance(point): axis distance minus radius
-            rad = np.asarray(s.cyl_radius)[:nc]
-            lab = np.asarray(s.cyl_label)[:nc]
-            d = np.linalg.norm(root - q, axis=1)
-            keep = (d <= radius) & (np.abs(root[:, 2] - q[2]) < 1.5)
-            rows.append(np.concatenate([
-                lab[keep, None].astype(np.float32), root[keep],
-                rad[keep, None], np.zeros((keep.sum(), 2), np.float32)], axis=1))
-        nk = int(s.cub_count)
-        if nk:
-            tr = np.asarray(s.cub_pose)[:nk, 4:7]
-            lab = np.asarray(s.cub_label)[:nk]
-            sc = np.asarray(s.cub_scale)[:nk]
-            d = np.linalg.norm(tr - q, axis=1)
-            keep = (d <= radius) & (np.abs(tr[:, 2] - q[2]) < 1.5)
-            rows.append(np.concatenate([
-                lab[keep, None].astype(np.float32), tr[keep], sc[keep]], axis=1))
-        nu = int(s.pt_count)
-        if nu:
-            tr = np.asarray(s.pt_pos)[:nu]
-            lab = np.asarray(s.pt_label)[:nu]
-            sc = np.asarray(s.pt_scale)[:nu]
-            d = np.linalg.norm(tr - q, axis=1)
-            keep = (d <= radius) & (np.abs(tr[:, 2] - q[2]) < 1.5)
-            rows.append(np.concatenate([
-                lab[keep, None].astype(np.float32), tr[keep], sc[keep]], axis=1))
-        if not rows:
-            return np.zeros((0, 7), np.float32)
-        return np.concatenate(rows, axis=0)
-
     @staticmethod
     def packet_measurement_rows(p: PoseMstPair) -> np.ndarray:
         """prepareLCInput on a packet's body-frame measurements."""
@@ -433,44 +456,122 @@ class SlamNode:
             return np.zeros((0, 7), np.float32)
         return np.concatenate(rows, axis=0)
 
-    def attempt_intra_loop_closure(self) -> bool:
-        """intraLoopClosureThread_ body (sloamNode.cpp:355-486)."""
-        with phase("intra_lc"):
-            return self._attempt_intra_loop_closure()
-
-    def _attempt_intra_loop_closure(self) -> bool:
+    def _intra_gate(self) -> Optional[int]:
+        """Attempt gates (sloamNode.cpp:355-385); returns the query pose
+        index when an attempt should run."""
         cfg = self.cfg
         if not self.is_in_lc_region:
-            return False
+            return None
         latest = len(self.key_poses) - 1
         if latest < cfg.lc_min_pose_idx or latest == self.last_intra_attempt_pose:
-            return False
-        self.num_attempts_intra += 1
-        self.last_intra_attempt_pose = latest
-        # sync the optimized chain once per attempt: the candidate search
-        # runs over *optimized* keyposes (cylinderMapManager.cpp:114-158)
-        self.refresh_poses()
-        cand = self._loop_candidate_idx(latest)
-        if cand is None:
-            return False
-        packet = self.dbm.host_record().packets[latest]
-        meas = self.packet_measurement_rows(packet)
-        cand_pose = self.key_poses[cand]
-        query_pose = self.key_poses[latest]
-        submap = self._keypose_submap_rows(cand_pose, cfg.lc_submap_radius)
+            return None
+        return latest
+
+    @staticmethod
+    def _candidate_from_chain(cfg, chain_xyz: np.ndarray,
+                              pose_idx: int) -> Optional[int]:
+        """getLoopCandidateIdx (cylinderMapManager.cpp:160-184): nearest pose
+        within 15 m that is >= 50 poses older, over a fetched optimized
+        chain."""
+        n = len(chain_xyz)
+        if n < 50:
+            return None
+        d = np.linalg.norm(chain_xyz - chain_xyz[pose_idx], axis=1)
+        eligible = ((d <= cfg.lc_candidate_max_dist)
+                    & (pose_idx - np.arange(n) > cfg.lc_candidate_min_poses_old))
+        if not np.any(eligible):
+            return None
+        d = np.where(eligible, d, np.inf)
+        return int(np.argmin(d))
+
+    @staticmethod
+    def _submap_from_rows(rows: np.ndarray, center_xyz: np.ndarray,
+                          radius: float) -> np.ndarray:
+        """getkeyPoseSubmap filter over fetched compact rows
+        (sloamNode.cpp:420-437 + the 1.5 m z gate,
+        cylinderMapManager.cpp:186-211)."""
+        if len(rows) == 0:
+            return rows
+        d = np.linalg.norm(rows[:, 1:4] - center_xyz[None, :], axis=1)
+        keep = (d <= radius) & (np.abs(rows[:, 3] - center_xyz[2]) < 1.5)
+        return rows[keep]
+
+    def _intra_search(self, latest: int, poses_snap, rows_dev, packet):
+        """Worker-thread body of one intra-LC attempt: fetch the optimized
+        chain + compact map (blocking in THIS thread, off the mission
+        clock), candidate search, SlideMatch. Returns
+        (cand, latest, rel7, chain) or None."""
         t0 = time.perf_counter()
+        cfg = self.cfg
+        P = cfg.capacity.max_poses_per_robot
+        base = self.robot_id * P
+        chain = np.asarray(poses_snap)[base:base + latest + 1]
+        cand = self._candidate_from_chain(cfg, chain[:, 4:7], latest)
+        if cand is None:
+            self.intra_lc_time.append(time.perf_counter() - t0)
+            return None
+        rows = _filter_compact_rows(rows_dev)
+        cand_pose = chain[cand]
+        submap = self._submap_from_rows(rows, cand_pose[4:7],
+                                        cfg.lc_submap_radius)
+        meas = self.packet_measurement_rows(packet)
         found, tf_q2c = self.place_recognition.find_intra_loop_closure(
-            meas, submap, query_pose, cand_pose)
+            meas, submap, chain[latest], cand_pose)
         self.intra_lc_time.append(time.perf_counter() - t0)
         if not found:
+            return None
+        return cand, latest, se3np.from_matrix(tf_q2c), chain
+
+    def _apply_intra_result(self, res) -> bool:
+        """Main-thread application of a completed intra-LC search."""
+        if res is None:
             return False
+        cand, latest, rel, chain = res
         self.num_success_intra += 1
-        rel = se3np.from_matrix(tf_q2c)
         self.add_loop_closure_factor(cand, self.robot_id, latest,
                                      self.robot_id, rel)
         self.state = engine.solve_full(self.cfg, self.state)
-        self.refresh_poses()
+        self.request_pose_refresh()
         return True
+
+    def submit_intra_loop_closure(self) -> Optional[Future]:
+        """Async intra-LC attempt: gate + dispatch the device programs on
+        the main thread, search on a worker (the reference's detached
+        intraLoopClosureThread_, sloamNode.cpp:100-119)."""
+        latest = self._intra_gate()
+        if latest is None:
+            return None
+        self.num_attempts_intra += 1
+        self.last_intra_attempt_pose = latest
+        poses_snap = self._snapshot_poses()
+        rows_dev = engine.compact_map_rows(self.cfg, self.state, jnp.int32(1))
+        packet = self.dbm.host_record().packets[latest]
+        return self.pool.submit(self._intra_search, latest, poses_snap,
+                                rows_dev, packet)
+
+    def attempt_intra_loop_closure(self) -> bool:
+        """intraLoopClosureThread_ body (sloamNode.cpp:355-486), synchronous
+        (deterministic) form."""
+        with phase("intra_lc"):
+            latest = self._intra_gate()
+            if latest is None:
+                return False
+            self.num_attempts_intra += 1
+            self.last_intra_attempt_pose = latest
+            # sync the optimized chain: the candidate search runs over
+            # *optimized* keyposes (cylinderMapManager.cpp:114-158)
+            self.refresh_poses()
+            poses_snap = self._snapshot_poses()
+            rows_dev = engine.compact_map_rows(self.cfg, self.state,
+                                               jnp.int32(1))
+            packet = self.dbm.host_record().packets[latest]
+            res = self._intra_search(latest, poses_snap, rows_dev, packet)
+            if res is None:
+                return False
+            ok = self._apply_intra_result(res)
+            if ok:
+                self.refresh_poses()
+            return ok
 
     def refresh_robot_map(self):
         """Push the current compact map into the database (done lazily:
@@ -482,43 +583,115 @@ class SlamNode:
                 self.dbm.update_robot_map(self.compact_map())
             self._map_dirty = False
 
-    def attempt_inter_loop_closure(self) -> List[int]:
-        """interLoopClosureThread_ body (sloamNode.cpp:578-697). Returns ids
-        of peers whose TF was discovered this attempt."""
-        with phase("inter_lc"):
-            return self._attempt_inter_loop_closure()
-
-    def _attempt_inter_loop_closure(self) -> List[int]:
-        cfg = self.cfg
-        found_ids = []
-        peers = [rid for rid in self.dbm.records
-                 if rid != self.robot_id and rid not in self.dbm.loop_closure_tf]
-        if not peers:
-            return found_ids
-        with phase("inter_map_refresh"):
+    def request_map_refresh(self):
+        """Async refresh_robot_map: dispatch the compact-map kernel now
+        (cheap), fetch + filter on a worker thread."""
+        if self.pool is None:
             self.refresh_robot_map()
-        self.num_attempts_inter += 1
-        ref_map = self.dbm.get_robot_map(self.robot_id)
-        if len(ref_map) == 0:
-            return found_ids
+            return
+        if not self._map_dirty or self._map_future is not None:
+            return
+        rows_dev = engine.compact_map_rows(
+            self.cfg, self.state, jnp.int32(self.cfg.min_landmark_hits))
+        self._map_future = self.pool.submit(_filter_compact_rows, rows_dev)
+        self._map_dirty = False
+
+    def collect_map_refresh(self, block: bool = True) -> bool:
+        with self._map_lock:
+            fut = self._map_future
+            if fut is None:
+                return False
+            if not block and not fut.done():
+                return False
+            self._map_future = None
+        t0 = time.perf_counter()
+        rows = fut.result()
+        phase_add("compact_map_wait", time.perf_counter() - t0)
+        self.dbm.update_robot_map(rows)
+        return True
+
+    def _inter_peers(self) -> List[int]:
+        return [rid for rid in self.dbm.records
+                if rid != self.robot_id and rid not in self.dbm.loop_closure_tf]
+
+    def _inter_search(self, peers: List[int], peer_maps: Dict[int, np.ndarray],
+                      ref_map: np.ndarray) -> Dict[int, np.ndarray]:
+        """Worker-thread body: SlideMatch/SlideGraph each unmatched peer's
+        compact map against ours; returns {peer: tf7}."""
+        cfg = self.cfg
+        found: Dict[int, np.ndarray] = {}
         for rid in peers:
-            qry_map = self.dbm.get_robot_map(rid)
+            qry_map = peer_maps[rid]
             if len(qry_map) == 0:
                 continue
             t0 = time.perf_counter()
-            with phase("inter_search"):
-                if cfg.use_slidematch:
-                    found, tf = self.place_recognition.find_inter_loop_closure(
-                        ref_map, qry_map)
-                else:
-                    found, tf = self.slidegraph.find_inter_loop_closure(
-                        ref_map, qry_map)
+            if cfg.use_slidematch:
+                ok, tf = self.place_recognition.find_inter_loop_closure(
+                    ref_map, qry_map)
+            else:
+                ok, tf = self.slidegraph.find_inter_loop_closure(
+                    ref_map, qry_map)
             self.inter_lc_time.append(time.perf_counter() - t0)
-            if found:
-                self.num_success_inter += 1
-                self.dbm.loop_closure_tf[rid] = se3np.from_matrix(tf)
-                found_ids.append(rid)
-        return found_ids
+            if ok:
+                found[rid] = se3np.from_matrix(tf)
+        return found
+
+    def _apply_inter_result(self, found: Dict[int, np.ndarray]) -> List[int]:
+        ids = []
+        for rid, tf in found.items():
+            if rid in self.dbm.loop_closure_tf:
+                continue
+            self.num_success_inter += 1
+            self.dbm.loop_closure_tf[rid] = tf
+            ids.append(rid)
+        return ids
+
+    def submit_inter_loop_closure(self) -> Optional[Future]:
+        """Async inter-LC attempt (the reference's detached
+        interLoopClosureThread_). The own-map fetch rides INSIDE the same
+        worker job (a separate pool submission could deadlock: N inter jobs
+        saturating the pool would wait on N map jobs queued behind them);
+        peer maps are captured by reference (immutable ndarrays)."""
+        peers = self._inter_peers()
+        if not peers:
+            return None
+        self.num_attempts_inter += 1
+        rows_dev = None
+        if self._map_dirty:
+            rows_dev = engine.compact_map_rows(
+                self.cfg, self.state, jnp.int32(self.cfg.min_landmark_hits))
+            self._map_dirty = False
+        peer_maps = {rid: self.dbm.get_robot_map(rid) for rid in peers}
+
+        def job():
+            if rows_dev is not None:
+                self.dbm.update_robot_map(_filter_compact_rows(rows_dev))
+            ref_map = self.dbm.get_robot_map(self.robot_id)
+            if len(ref_map) == 0:
+                return {}
+            return self._inter_search(peers, peer_maps, ref_map)
+
+        return self.pool.submit(job)
+
+    def attempt_inter_loop_closure(self) -> List[int]:
+        """interLoopClosureThread_ body (sloamNode.cpp:578-697), synchronous
+        form. Returns ids of peers whose TF was discovered this attempt."""
+        with phase("inter_lc"):
+            peers = self._inter_peers()
+            if not peers:
+                return []
+            with phase("inter_map_refresh"):
+                self.refresh_robot_map()
+            self.num_attempts_inter += 1
+            ref_map = self.dbm.get_robot_map(self.robot_id)
+            if len(ref_map) == 0:
+                return []
+            with phase("inter_search"):
+                found = self._inter_search(peers, ref_map=ref_map,
+                                           peer_maps={
+                                               rid: self.dbm.get_robot_map(rid)
+                                               for rid in peers})
+            return self._apply_inter_result(found)
 
     def add_loop_closure_factor(self, prev_idx: int, robot1: int,
                                 cur_idx: int, robot2: int, rel: np.ndarray):
@@ -563,7 +736,7 @@ class SlamNode:
                 jnp.asarray(rel), jnp.asarray(sigma))
         if matches:
             self.state = engine.solve_incremental(self.cfg, self.state)
-            self.refresh_poses()
+            self.request_pose_refresh()
         self.num_rel_factors += len(matches)
         return len(matches)
 
