@@ -109,6 +109,20 @@ def bench_solo():
     }
 
 
+def _stamp_matched_ate(node, log, traj):
+    """ATE of a node's own trajectory against ground truth matched BY STAMP:
+    the InputManager path adds keyframes for relative-measurement events too
+    (inputNode.cpp:126-149), so est rows can outnumber log keyframes."""
+    truth = {round(k.stamp, 6): t[4:7]
+             for k, t in zip(log.keyframes, traj)}
+    est = node.optimized_trajectory()
+    pairs = [(e, truth[round(s, 6)])
+             for e, s in zip(est[:, 4:7], node.key_stamps)
+             if round(s, 6) in truth]
+    e, t = np.asarray([p[0] for p in pairs]), np.asarray([p[1] for p in pairs])
+    return float(np.sqrt(np.mean(np.sum((e - t) ** 2, axis=1))))
+
+
 def _mission_relative_meas(logs, rng, max_dist=12.0, period=10):
     """Synthetic AprilTag-style sightings: every `period` keyframes, if two
     robots' true poses are within max_dist, the lower-id robot 'sees' the
@@ -217,10 +231,9 @@ def bench_mission():
 
     ates_slam, ates_odom = [], []
     for node, log, traj in zip(report.nodes, logs, trajs):
-        est = node.optimized_trajectory()
-        n = len(est)
-        ates_slam.append(synthetic.ate_rmse(est, traj[:n], align=False))
-        odom = np.stack([kf.odom_pose for kf in log.keyframes[:n]])
+        ates_slam.append(_stamp_matched_ate(node, log, traj))
+        n = len(log.keyframes)
+        odom = np.stack([kf.odom_pose for kf in log.keyframes])
         ates_odom.append(synthetic.ate_rmse(odom, traj[:n], align=False))
     merged = sum(len(n.dbm.loop_closure_tf) for n in report.nodes)
     overflow = {}
@@ -301,11 +314,8 @@ def bench_mission_fixture():
     t0 = time.perf_counter()
     report = mission.run(intra_lc=True)
     dt = time.perf_counter() - t0
-    ates = []
-    for node, log, traj in zip(report.nodes, logs, trajs):
-        est = node.optimized_trajectory()
-        n = len(est)
-        ates.append(synthetic.ate_rmse(est, traj[:n], align=False))
+    ates = [_stamp_matched_ate(node, log, traj)
+            for node, log, traj in zip(report.nodes, logs, trajs)]
     return {
         "mission_fixture_kf_per_sec": n_total / dt,
         "mission_fixture_wall_s": dt,

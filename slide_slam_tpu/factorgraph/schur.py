@@ -126,7 +126,11 @@ def build_operands(s: GraphState, cyl_sigma, bearing_sigma,
     lm_active = jnp.concatenate([s.cyl_valid(), s.cub_valid(), s.pt_valid()])
     eye9 = jnp.eye(9, dtype=r.dtype)
     hll_diag = jnp.einsum("nii->ni", Hll_blocks)
-    damped = (Hll_blocks + lam * hll_diag[..., None] * eye9 + 1e-6 * eye9)
+    # absolute ridge 1e-4: a weakly-observed cuboid/point block whose
+    # eigenvalues sit at the bf16x2-reduction noise level (~1e-5) would
+    # otherwise invert to a huge, wrong inverse and poison the (unguarded)
+    # incremental step; the ridge only damps the STEP, not the fixed point
+    damped = (Hll_blocks + lam * hll_diag[..., None] * eye9 + 1e-4 * eye9)
     # inactive landmark slots get the identity (their z is reduction noise;
     # the inverse is masked to zero below so they can't contaminate poses)
     damped = jnp.where(lm_active[:, None, None], damped, eye9)
@@ -137,7 +141,7 @@ def build_operands(s: GraphState, cyl_sigma, bearing_sigma,
     # mission shape that cuts the inverted-block count 3x and sidesteps
     # most of the batched-inv cost/compile on TPU.
     cyl_recip = 1.0 / jnp.maximum(
-        jnp.einsum("nii->ni", damped[:NC]), 1e-12)
+        jnp.einsum("nii->ni", damped[:NC]), 1e-8)
     cyl_inv = cyl_recip[:, :, None] * eye9
     rest_inv = jnp.linalg.inv(damped[NC:])
     Hll_inv = jnp.where(lm_active[:, None, None],
@@ -277,6 +281,11 @@ def solve(s: GraphState, *, cyl_sigma: float, bearing_sigma: float,
         s, it, _ = carry
         op = build_operands(s, cyl_sigma, bearing_sigma, lam, block_precond)
         dp, dl = solve_reduced(op, lam, pcg_iters, pcg_tol)
+        # sanitize: a non-finite step (degenerate block, overflow) must
+        # never poison the state — iSAM2's equivalent is its indeterminant-
+        # linear-system exception path
+        dp = jnp.where(jnp.isfinite(dp), dp, 0.0)
+        dl = jnp.where(jnp.isfinite(dl), dl, 0.0)
         dx = solver.Tangent(pose=dp, cyl=dl[:NC, :7],
                             cub=dl[NC:NC + NK], pt=dl[NC + NK:, :3])
         if not line_search:

@@ -581,6 +581,7 @@ def solve(s: GraphState, *, cyl_sigma: float, bearing_sigma: float,
         hv = functools.partial(hessian_vec_packed, s, packed, lam=lam,
                                diag=diag, axis_name=axis_name, plan=plan)
         dx_flat = pcg(hv, -g, precond_apply, pcg_iters, pcg_tol)
+        dx_flat = jnp.where(jnp.isfinite(dx_flat), dx_flat, 0.0)
         dx = x_to_tangent(s, dx_flat)
 
         if not line_search:

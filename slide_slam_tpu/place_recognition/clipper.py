@@ -66,8 +66,9 @@ def find_dense_clique(M: jnp.ndarray, u0: jnp.ndarray,
 
     The constraint matrix C here equals the affinity's support (C_ij = 1 where
     M_ij > 0) exactly as scorePairwiseConsistency builds it (clipper.cpp:63-64).
-    Returns (u, F, omega): characteristic vector, objective, estimated clique
-    size (round(F), DSD_HEU)."""
+    Returns ONE packed [n+2] array: [u (characteristic vector, n), F
+    (objective), omega (estimated clique size, round(F), DSD_HEU)] — packed
+    so the host fetches one transfer instead of three."""
     n = M.shape[0]
     C = (M > 0).astype(M.dtype)
     ones = jnp.ones((n,), M.dtype)

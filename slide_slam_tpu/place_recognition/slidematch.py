@@ -42,7 +42,6 @@ N_LABEL_BINS = 16
 @dataclass(frozen=True)
 class SlideMatchDims:
     """Static kernel shapes (independent of the data)."""
-    t_grid: int = 256          # unused since the FFT scorer (kept for compat)
     fine_grid: int = 512       # label-raster resolution per axis
     disk_radius_cells: int = 8
     max_objects: int = 384     # padded map/query object count
@@ -76,6 +75,9 @@ def _bucket_capacity(n: int, base: int) -> int:
     return ((need + 127) // 128) * 128
 
 
+_label_bin_wraps = 0   # diagnostic counter (see _compact_label_bins)
+
+
 def _compact_label_bins(ref_labels: np.ndarray, qry_labels: np.ndarray):
     """Map raw label values to compact raster bins.
 
@@ -87,6 +89,15 @@ def _compact_label_bins(ref_labels: np.ndarray, qry_labels: np.ndarray):
     blurs the *candidate ranking*, since the exact top-K rescore always
     compares raw label values."""
     uniq = np.unique(np.concatenate([ref_labels, qry_labels]))
+    if len(uniq) > N_LABEL_BINS:
+        # diagnosable recall loss on label-rich maps (ADVICE r3): count it
+        global _label_bin_wraps
+        _label_bin_wraps += 1
+        import logging
+        logging.getLogger(__name__).debug(
+            "slidematch: %d distinct labels > %d raster bins; candidate "
+            "ranking blurred (wrap #%d)", len(uniq), N_LABEL_BINS,
+            _label_bin_wraps)
     lut = {v: i % N_LABEL_BINS for i, v in enumerate(uniq.tolist())}
     rb = np.asarray([lut[v] for v in ref_labels.tolist()], np.int32)
     qb = np.asarray([lut[v] for v in qry_labels.tolist()], np.int32)

@@ -40,7 +40,7 @@ def test_loop_closure_reduces_drift():
     log = synthetic.make_log(world, traj, odom_drift_sigma=0.012,
                              yaw_drift_bias=0.0015, pos_noise=0.02,
                              dropout=0.05, max_range=18.0, seed=5)
-    dims = SlideMatchDims(t_grid=128, fine_grid=512, max_objects=256,
+    dims = SlideMatchDims(fine_grid=512, max_objects=256,
                           n_yaw=24, rescore_topk=32)
     node = SlamNode(cfg, robot_id=0, slidematch_dims=dims)
     attempted = succeeded = 0
@@ -81,7 +81,7 @@ def test_closure_tf_accuracy():
     log = synthetic.make_log(world, traj, odom_drift_sigma=0.012,
                              yaw_drift_bias=0.0015, pos_noise=0.02,
                              dropout=0.05, max_range=18.0, seed=5)
-    dims = SlideMatchDims(t_grid=128, fine_grid=512, max_objects=256,
+    dims = SlideMatchDims(fine_grid=512, max_objects=256,
                           n_yaw=24, rescore_topk=32)
     node = SlamNode(cfg, robot_id=0, slidematch_dims=dims)
 

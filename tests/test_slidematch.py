@@ -13,7 +13,7 @@ from slide_slam_tpu.place_recognition.slidematch import (
 
 REF_DATA = "/root/reference/backend/sloam/clipper_semantic_object/examples/data"
 
-TEST_DIMS = SlideMatchDims(t_grid=128, fine_grid=512, disk_radius_cells=12,
+TEST_DIMS = SlideMatchDims(fine_grid=512, disk_radius_cells=12,
                            max_objects=256, n_yaw=24, rescore_topk=32)
 
 
