@@ -27,9 +27,9 @@ closures = []
 orig = SlamNode.add_loop_closure_factor
 
 
-def spy(self, prev_idx, robot1, cur_idx, robot2, rel):
+def spy(self, prev_idx, robot1, cur_idx, robot2, rel, **kw):
     closures.append((prev_idx, cur_idx, np.asarray(rel).copy()))
-    return orig(self, prev_idx, robot1, cur_idx, robot2, rel)
+    return orig(self, prev_idx, robot1, cur_idx, robot2, rel, **kw)
 
 
 SlamNode.add_loop_closure_factor = spy

@@ -318,7 +318,7 @@ def _icp_refine(tf: np.ndarray, ref: np.ndarray, qry: np.ndarray, cfg,
         dd = np.abs(ref[None, :, 4:7] - qry[:, None, 4:7])
         avg_dd = np.where(cyl_like[None, :], dd[:, :, 0], dd.mean(-1))
         label_eq = label_eq & (avg_dd < cfg.match_threshold_dimension)
-    n_ok = 0
+    best = (0, np.inf, tf)        # (n_pairs, rms, tf) — keep the BEST
     for _ in range(iters):
         q = qry[:, 1:4] @ tf[:3, :3].T + tf[:3, 3]
         d = np.linalg.norm(q[:, None, :2] - ref[None, :, 1:3], axis=-1)
@@ -329,7 +329,14 @@ def _icp_refine(tf: np.ndarray, ref: np.ndarray, qry: np.ndarray, cfg,
             break
         n_ok = int(ok.sum())
         tf = solve_lsq(ref[j[ok], 1:4], qry[ok, 1:4])
-    return tf, n_ok
+        q2 = qry[ok, 1:4] @ tf[:3, :3].T + tf[:3, 3]
+        rms = float(np.sqrt(np.mean(
+            np.sum((q2 - ref[j[ok], 1:4]) ** 2, axis=1))))
+        # guarded: keep the iterate with most pairs, then lowest rms —
+        # re-matching on a coherently drifted submap can otherwise wander
+        if n_ok > best[0] or (n_ok == best[0] and rms < best[1]):
+            best = (n_ok, rms, tf)
+    return best[2], best[0], best[1]
 
 
 def _tf_from_xyyaw(x, y, yaw, z=0.0):
@@ -348,6 +355,9 @@ class PlaceRecognition:
                  dims: Optional[SlideMatchDims] = None):
         self.cfg = cfg
         self.dims = dims or SlideMatchDims()
+        # (n_pairs, rms) of the last accepted LSQ/ICP fit — the closure
+        # measurement-noise proxy consumed by the factor sigma
+        self._last_fit = (0, np.inf)
 
     # -- core --------------------------------------------------------------
     def find_transformation(self, reference_objects: np.ndarray,
@@ -437,8 +447,9 @@ class PlaceRecognition:
             # 2-3 ICP rounds pull the far objects back into the pair set
             # and converge to the full-lever-arm alignment (~0.1 m / <1 deg
             # on the mission bench).
-            tf, n_ref = _icp_refine(tf, orig_ref, orig_qry, cfg)
+            tf, n_ref, fit_rms = _icp_refine(tf, orig_ref, orig_qry, cfg)
             n_inliers = max(n_inliers, n_ref)
+            self._last_fit = (n_ref, fit_rms)
         else:
             tf_raw = _tf_from_xyyaw(float(res_x), float(res_y), float(res_yaw))
             if not intra:

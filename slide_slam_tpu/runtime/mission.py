@@ -195,7 +195,8 @@ class MultiRobotMission:
         # folded in everywhere
         if asyncmode:
             self._drain_jobs(block=True)
-        self._exchange(t1 + 10 * cfg.communication_wait_time)
+        self._exchange(t1 + 10 * cfg.communication_wait_time,
+                       block_maps=True)
         for n in self.nodes:
             if asyncmode:
                 self._submit(n.robot_id, "inter", n.submit_inter_loop_closure())
@@ -220,22 +221,25 @@ class MultiRobotMission:
                 n.refresh_poses()
         return MissionReport(self.nodes)
 
-    def _exchange(self, now: float):
+    def _exchange(self, now: float, block_maps: bool = False):
         """All-to-all bundle exchange (databaseManager.cpp:219-279 + the
         per-robot subscriptions :57-60)."""
         with phase("comm_exchange"):
-            self._exchange_inner(now)
+            self._exchange_inner(now, block_maps)
 
-    def _exchange_inner(self, now: float):
+    def _exchange_inner(self, now: float, block_maps: bool = False):
         communicating = [n for n in self.nodes if n.dbm.should_communicate(now)]
         if self.pool is not None:
-            # kick all compact-map refreshes first so their device programs
-            # queue together and the worker fetches overlap ONE backlog
-            # drain instead of N serial ones
+            # Non-blocking map policy: fold whatever background map fetch
+            # has COMPLETED, then start a new one. Blocking here would
+            # serialize the mission clock behind the device backlog
+            # (measured 9.3 s of a 12.9 s mission); the reference's maps
+            # are equally stale — each robot broadcasts the map it last
+            # refreshed at its own cadence (sloamNode.cpp:1017 vs the
+            # comm timer, databaseManager.cpp:14).
             for n in communicating:
+                n.collect_map_refresh(block=block_maps)
                 n.request_map_refresh()
-            for n in communicating:
-                n.collect_map_refresh(block=True)
         else:
             for n in communicating:
                 n.refresh_robot_map()

@@ -520,16 +520,24 @@ class SlamNode:
         self.intra_lc_time.append(time.perf_counter() - t0)
         if not found:
             return None
-        return cand, latest, se3np.from_matrix(tf_q2c), chain
+        n_fit, fit_rms = self.place_recognition._last_fit
+        return cand, latest, se3np.from_matrix(tf_q2c), chain, (n_fit, fit_rms)
 
     def _apply_intra_result(self, res) -> bool:
         """Main-thread application of a completed intra-LC search."""
         if res is None:
             return False
-        cand, latest, rel, chain = res
+        cand, latest, rel, chain, (n_fit, fit_rms) = res
         self.num_success_intra += 1
+        # Closure sigma: the reference's constant odom*0.01 (graphWrapper.
+        # cpp:55) asserts ~1 mm TF accuracy; the measured accuracy is the
+        # ICP fit residual. Floor the sigma at the fit's standard error so
+        # ONE imperfect closure cannot warp the whole trajectory
+        # (documented divergence, PARITY.md #6).
+        sigma = np.maximum(self._closure_sigma,
+                           np.float32(fit_rms / max(np.sqrt(n_fit), 1.0)))
         self.add_loop_closure_factor(cand, self.robot_id, latest,
-                                     self.robot_id, rel)
+                                     self.robot_id, rel, sigma=sigma)
         self.state = engine.solve_full(self.cfg, self.state)
         self.request_pose_refresh()
         return True
@@ -694,12 +702,15 @@ class SlamNode:
             return self._apply_inter_result(found)
 
     def add_loop_closure_factor(self, prev_idx: int, robot1: int,
-                                cur_idx: int, robot2: int, rel: np.ndarray):
+                                cur_idx: int, robot2: int, rel: np.ndarray,
+                                sigma: Optional[np.ndarray] = None):
         P = self.cfg.capacity.max_poses_per_robot
+        if sigma is None:
+            sigma = self._closure_sigma
         self.state = engine.add_between_factor(
             self.cfg, self.state,
             jnp.int32(robot1 * P + prev_idx), jnp.int32(robot2 * P + cur_idx),
-            jnp.asarray(rel), jnp.asarray(self._closure_sigma))
+            jnp.asarray(rel), jnp.asarray(sigma))
 
     # ------------------------------------------------------------------
     # Relative inter-robot measurements (sloamNode.cpp:707-760)

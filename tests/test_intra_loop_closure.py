@@ -88,12 +88,12 @@ def test_closure_tf_accuracy():
     errors = []
     orig = SlamNode.add_loop_closure_factor
 
-    def spy(self, prev_idx, r1, cur_idx, r2, rel):
+    def spy(self, prev_idx, r1, cur_idx, r2, rel, **kw):
         true_rel = se3np.between(log.keyframes[prev_idx].true_pose,
                                  log.keyframes[cur_idx].true_pose)
         errors.append(float(np.linalg.norm(
             np.asarray(rel)[4:7] - true_rel[4:7])))
-        return orig(self, prev_idx, r1, cur_idx, r2, rel)
+        return orig(self, prev_idx, r1, cur_idx, r2, rel, **kw)
 
     node.add_loop_closure_factor = spy.__get__(node)
     for i, kf in enumerate(log.keyframes):
