@@ -240,6 +240,7 @@ def bench_mission():
     for n in report.nodes:
         for k, v in n.overflow_report().items():
             overflow[k] = overflow.get(k, 0) + v
+    overflow_detail = {k: v for k, v in overflow.items() if v}
 
     # intra-LC ablation: replay robot 0's loop log SOLO with and without
     # intra loop closure (same default gates) to isolate its ATE gain
@@ -267,6 +268,7 @@ def bench_mission():
         "merged_robot_pairs": merged,
         "relative_factors": sum(n.num_rel_factors for n in report.nodes),
         "overflow_total": int(sum(overflow.values())),
+        "overflow_detail": overflow_detail,
         "mission_phase_ms": phases,
     }
 

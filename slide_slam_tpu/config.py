@@ -82,12 +82,11 @@ class CapacityConfig:
 def realtime_solver() -> SolverConfig:
     """Real-time per-keyframe solve tier for mission deployment.
 
-    With the Schur-reduced solver the default incremental budget (8 PCG
-    iterations) is already real-time; this tier only loosens the early-exit
-    tolerance (closure-quality accuracy is recovered by the thorough
-    post-closure `solve_full`, unchanged 16x256 budget)."""
-    return SolverConfig(incremental_pcg_iterations=8,
-                        incremental_pcg_tol=1e-2)
+    With the Schur-reduced solver + the adaptive step-norm exit the DEFAULT
+    budget is already real-time at steady state (the cap only binds on
+    post-closure/merge transients); this tier is now the default config,
+    kept as a named alias for config-file compatibility."""
+    return SolverConfig()
 
 
 def mission_capacity(n_keyframes_per_robot: int = 150) -> CapacityConfig:
@@ -144,12 +143,19 @@ class SolverConfig:
     # Defaults picked on the TPU bench workload: one linearization + deeper
     # PCG dominates two shallow outer iterations on both ATE and wall time.
     incremental_outer_iterations: int = 1
-    # Schur-reduced PCG converges the warm-started per-keyframe system in
-    # a handful of iterations (landmark elimination + Jacobi scaling);
-    # validated by the <=5 cm incremental-vs-converged proof
-    # (tests/test_solver_vs_reference.py) at this budget
-    incremental_pcg_iterations: int = 8
+    # ADAPTIVE budget: the PCG exits when its Krylov step drops below ~mm
+    # scale (solver.pcg step_tol), so a warm-started steady-state keyframe
+    # costs a handful of iterations while a post-closure/merge step can use
+    # the full cap. A fixed cap of 8 traded 2x solo-trajectory ATE for
+    # speed (r4 measured: 1.13 m vs 0.56 m at cap 64) — r3's mistake,
+    # not repeated.
+    incremental_pcg_iterations: int = 64
     incremental_pcg_tol: float = 1e-3
+    # Guard the warm-started per-keyframe step with the backtracking cost
+    # check. Unguarded DEEP steps overshoot on nonlinearity (r4 measured:
+    # 7.1 m ATE unguarded vs 0.56 m guarded at cap 64); with the adaptive
+    # step exit the sweep runs rarely enough to keep its cost negligible.
+    incremental_line_search: bool = True
     # Block-Jacobi (per-variable dense blocks of J^T J) preconditioner:
     # fewer PCG iterations per solve at a small per-iteration setup cost
     use_block_jacobi: bool = False

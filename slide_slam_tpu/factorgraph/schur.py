@@ -35,15 +35,13 @@ from .graph import GraphState
 
 
 def _bf16x2_matmul(onehot_t, y):
-    """onehot_t [N, F] bf16 @ y [F, D] f32 with a bf16x2 payload split:
-    f32-grade accuracy, MXU-grade speed (see solver.ReducePlan)."""
-    hi = y.astype(jnp.bfloat16)
-    lo = (y - hi.astype(y.dtype)).astype(jnp.bfloat16)
-    packed = jnp.concatenate([hi, lo], axis=1)
+    """onehot_t [N, F] bf16 @ y [F, D] f32 with a bf16x3 payload split:
+    f32-grade accuracy, MXU-grade speed (see solver._bf16x3)."""
+    packed = jnp.concatenate(solver._bf16x3(y), axis=1)
     out = jnp.einsum("nf,fd->nd", onehot_t, packed,
                      preferred_element_type=jnp.float32)
     D = y.shape[1]
-    return out[:, :D] + out[:, D:]
+    return out[:, :D] + out[:, D:2 * D] + out[:, 2 * D:]
 
 
 class SchurOperands(NamedTuple):
@@ -284,8 +282,8 @@ def solve(s: GraphState, *, cyl_sigma: float, bearing_sigma: float,
         # sanitize: a non-finite step (degenerate block, overflow) must
         # never poison the state — iSAM2's equivalent is its indeterminant-
         # linear-system exception path
-        dp = jnp.where(jnp.isfinite(dp), dp, 0.0)
-        dl = jnp.where(jnp.isfinite(dl), dl, 0.0)
+        dp = solver.clamp_rows(jnp.where(jnp.isfinite(dp), dp, 0.0))
+        dl = solver.clamp_rows(jnp.where(jnp.isfinite(dl), dl, 0.0))
         dx = solver.Tangent(pose=dp, cyl=dl[:NC, :7],
                             cub=dl[NC:NC + NK], pt=dl[NC + NK:, :3])
         if not line_search:

@@ -247,6 +247,15 @@ def _project(s: GraphState, v: Tangent) -> Tangent:
     return v._replace(pose=jnp.where(frozen[:, None], 0.0, v.pose))
 
 
+def clamp_rows(x: jnp.ndarray, max_norm: float = 10.0) -> jnp.ndarray:
+    """Per-variable trust region: scale any tangent row above max_norm back
+    onto the ball. A single solve never legitimately moves a pose tens of
+    meters; runaway rows (degenerate curvature, reduction noise) get
+    bounded instead of poisoning the retraction."""
+    n = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    return x * jnp.minimum(1.0, max_norm / jnp.maximum(n, 1e-12))
+
+
 def _maybe_psum(x, axis_name):
     if axis_name is None:
         return x
@@ -305,16 +314,28 @@ def make_reduce_plan(s: GraphState, idx: jnp.ndarray) -> ReducePlan:
     return ReducePlan(onehot.astype(jnp.bfloat16))
 
 
+def _bf16x3(y):
+    """Split f32 values into three bf16 terms (hi + lo + lo2): ~24 mantissa
+    bits reconstructed under f32 accumulation — matmul reductions at bf16
+    streaming cost with f32-grade accuracy. A 2-term split (~16 bits,
+    ~1e-5 relative matvec error) measurably degraded deep PCG: Krylov
+    orthogonality decays at the matvec noise floor and 64-iteration solves
+    produced meter-scale pose errors."""
+    hi = y.astype(jnp.bfloat16)
+    r1 = y - hi.astype(y.dtype)
+    lo = r1.astype(jnp.bfloat16)
+    lo2 = (r1 - lo.astype(y.dtype)).astype(jnp.bfloat16)
+    return hi, lo, lo2
+
+
 def _segsum(plan: ReducePlan, y: jnp.ndarray) -> jnp.ndarray:
     """Segment-sum rows of y [2F, D] -> [NV, D]: one-hot matmul with a
-    bf16x2 payload split (lossless to ~2^-16 relative)."""
-    hi = y.astype(jnp.bfloat16)
-    lo = (y - hi.astype(y.dtype)).astype(jnp.bfloat16)
-    packed = jnp.concatenate([hi, lo], axis=1)          # [2F, 2D]
+    bf16x3 payload split."""
+    packed = jnp.concatenate(_bf16x3(y), axis=1)        # [2F, 3D]
     out = jnp.einsum("fv,fd->vd", plan.onehot, packed,
                      preferred_element_type=jnp.float32)
     D = y.shape[1]
-    return out[:, :D] + out[:, D:]
+    return out[:, :D] + out[:, D:2 * D] + out[:, 2 * D:]
 
 
 def _var_offsets(s: GraphState):
@@ -503,13 +524,24 @@ def retract_state(s: GraphState, dx: Tangent) -> GraphState:
 # ---------------------------------------------------------------------------
 
 
-def pcg(hv_fn, b: jnp.ndarray, precond_apply, max_iters, tol) -> jnp.ndarray:
+def pcg(hv_fn, b: jnp.ndarray, precond_apply, max_iters, tol,
+        step_tol=1e-3) -> jnp.ndarray:
     """Solve H x = b on the unified tangent [NV, 9];
     `precond_apply(r) -> z` applies M^-1.
 
     max_iters/tol may be traced scalars — the same compiled solver then
     serves different iteration budgets (cheap warm-started incremental
-    solves vs thorough post-closure solves)."""
+    solves vs thorough post-closure solves).
+
+    step_tol: ADAPTIVE early exit on the per-iteration step norm
+    ||alpha p||. The relative-residual criterion never exits early on a
+    warm-started (already-converged) graph — the RELATIVE reduction takes
+    the same iteration count regardless of how small the residual already
+    is — so steady-state per-keyframe solves were paying the full budget
+    for micrometer updates. Once the Krylov step drops below step_tol
+    (tangent units, ~mm), further iterations cannot move any pose
+    perceptibly and the loop stops. iSAM2's relinearization threshold
+    (graph.cpp:14-22, 0.1) plays the same role in the reference."""
     x0 = jnp.zeros_like(b)
     r0 = b
     z0 = precond_apply(r0)
@@ -517,23 +549,37 @@ def pcg(hv_fn, b: jnp.ndarray, precond_apply, max_iters, tol) -> jnp.ndarray:
     rz0 = jnp.vdot(r0, z0)
 
     def body(carry):
-        k, x, r, z, p, rz = carry
+        k, x, r, z, p, rz, small = carry
         hp = hv_fn(p)
         php = jnp.vdot(p, hp)
-        alpha = rz / jnp.maximum(php, 1e-30)
+        # Curvature guard: H is PSD in exact arithmetic, but the fast
+        # reduction's ~1e-5 relative error can make p^T H p collapse to ~0
+        # (or negative) deep into the Krylov sequence — rz/max(php, 1e-30)
+        # then produced 1e30-scale steps (finite, so an isfinite check
+        # missed them) that NaN'd the retraction. Take no step and stop.
+        curv_ok = php > 1e-12 * jnp.vdot(p, p)
+        alpha = jnp.where(curv_ok, rz / jnp.maximum(php, 1e-30), 0.0)
         x = x + alpha * p
         r = r - alpha * hp
         z = precond_apply(r)
         rz_new = jnp.vdot(r, z)
-        beta = rz_new / jnp.maximum(rz, 1e-30)
+        beta = jnp.where(curv_ok, rz_new / jnp.maximum(rz, 1e-30), 0.0)
         p = z + beta * p
-        return k + 1, x, r, z, p, rz_new
+        # CG step norms are NOT monotone — one small step mid-Krylov is no
+        # proof of convergence (a single-step exit cost 2x trajectory ATE in
+        # validation); require THREE consecutive sub-threshold steps
+        step_small = (alpha * alpha) * jnp.vdot(p, p) < step_tol * step_tol
+        small = jnp.where(step_small, small + 1, 0)
+        stop = (~curv_ok) | (small >= 3)
+        # signal stop by zeroing rz (cond sees rz below tolerance)
+        return k + 1, x, r, z, p, jnp.where(stop, 0.0, rz_new), small
 
     def cond(carry):
-        k, x, r, z, p, rz = carry
+        k, x, r, z, p, rz, small = carry
         return (k < max_iters) & (rz > tol * tol * jnp.maximum(rz0, 1e-30))
 
-    _, x, *_ = jax.lax.while_loop(cond, body, (0, x0, r0, z0, p0, rz0))
+    _, x, *_ = jax.lax.while_loop(
+        cond, body, (0, x0, r0, z0, p0, rz0, jnp.int32(0)))
     return x
 
 
@@ -582,6 +628,7 @@ def solve(s: GraphState, *, cyl_sigma: float, bearing_sigma: float,
                                diag=diag, axis_name=axis_name, plan=plan)
         dx_flat = pcg(hv, -g, precond_apply, pcg_iters, pcg_tol)
         dx_flat = jnp.where(jnp.isfinite(dx_flat), dx_flat, 0.0)
+        dx_flat = clamp_rows(dx_flat)
         dx = x_to_tangent(s, dx_flat)
 
         if not line_search:

@@ -140,7 +140,7 @@ def keyframe_step_fused(
         outer_iters=solver_budget[0].astype(jnp.int32),
         pcg_iters=solver_budget[1].astype(jnp.int32),
         pcg_tol=solver_budget[2],
-        line_search=False,   # warm-started per-keyframe path (iSAM2 analog)
+        line_search=cfg.solver.incremental_line_search,
     )
     return s, out._replace(pose=s.poses[out.slot])
 
@@ -394,7 +394,7 @@ def _keyframe_body(cfg, state, robot_id, pose_estimate, rel_odom, scan_cyl,
             outer_iters=cfg.solver.incremental_outer_iterations,
             pcg_iters=cfg.solver.pcg_max_iterations,
             pcg_tol=cfg.solver.pcg_tol,
-            line_search=False,   # per-keyframe path (iSAM2 analog)
+            line_search=cfg.solver.incremental_line_search,
         )
 
     if enable_solve:
@@ -457,7 +457,7 @@ def solve_incremental(cfg: SlamConfig, state: GraphState) -> GraphState:
                          jnp.int32(cfg.solver.incremental_outer_iterations),
                          jnp.int32(cfg.solver.incremental_pcg_iterations),
                          jnp.float32(cfg.solver.incremental_pcg_tol),
-                         line_search=False)
+                         line_search=cfg.solver.incremental_line_search)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
