@@ -379,8 +379,8 @@ def bench_place_recognition(node):
     pr = node.place_recognition
     pr.find_transformation(ref_map, qry, intra=False)   # compile
     t0 = time.perf_counter()
-    found, xyzyaw, _, n_inl = pr.find_transformation(ref_map, qry,
-                                                     intra=False)
+    found, xyzyaw, _, n_inl, _ = pr.find_transformation(ref_map, qry,
+                                                        intra=False)
     slidematch_ms = 1000.0 * (time.perf_counter() - t0)
 
     sg = node.slidegraph

@@ -57,7 +57,7 @@ for latest, (cand, lat, rel, chain), packet in captures:
     sub = node.compact_map(min_hits=1)
     d = np.linalg.norm(sub[:, 1:4] - c_est[4:7], axis=1)
     sub = sub[(d <= cfg.lc_submap_radius) & (np.abs(sub[:, 3] - c_est[6]) < 1.5)]
-    found, xyzyaw, tf, n_inl = pr.find_transformation(sub, meas_map, intra=True)
+    found, xyzyaw, tf, n_inl, _ = pr.find_transformation(sub, meas_map, intra=True)
     print(f"  re-search: found={found} inliers={n_inl} xyzyaw={xyzyaw}")
     if found:
         # GT correction: lc_tf should map est-projected query measurements onto

@@ -36,12 +36,27 @@ from .graph import GraphState
 
 def _bf16x2_matmul(onehot_t, y):
     """onehot_t [N, F] bf16 @ y [F, D] f32 with a bf16x3 payload split:
-    f32-grade accuracy, MXU-grade speed (see solver._bf16x3)."""
+    f32-grade accuracy, MXU-grade speed (see solver._bf16x3). Used ONLY
+    inside the PCG matvec loop (s_matvec) where the reduction runs every
+    Krylov iteration."""
     packed = jnp.concatenate(solver._bf16x3(y), axis=1)
     out = jnp.einsum("nf,fd->nd", onehot_t, packed,
                      preferred_element_type=jnp.float32)
     D = y.shape[1]
     return out[:, :D] + out[:, D:2 * D] + out[:, 2 * D:]
+
+
+def _scatter_rows(idx, y, n):
+    """EXACT f32 segment reduction: rows of y [F, D...] summed into
+    [n, D...] by scatter-add. Once-per-outer-iteration reductions (the
+    gradient, Hll, Dp, the Schur RHS, the back-substitution) use this, NOT
+    the bf16x3 one-hot matmul: the ~1e-5 relative matvec noise is harmless
+    inside PCG (it perturbs the Krylov path, not the fixed point) but a
+    biased gradient/Hessian MOVES the fixed point — r4 built everything on
+    the fast path and the two budgeted solvers disagreed by 0.29 m ATE on
+    a 128-pose graph (ADVICE r4 #1). This mirrors solver.solve, which
+    keeps its once-per-iteration gradient on the exact plan=None path."""
+    return jnp.zeros((n,) + y.shape[1:], y.dtype).at[idx].add(y)
 
 
 class SchurOperands(NamedTuple):
@@ -117,10 +132,8 @@ def build_operands(s: GraphState, cyl_sigma, bearing_sigma,
            ).astype(jnp.bfloat16)
 
     A = jnp.einsum("fri,frj->fij", Jp, Jl)               # [F, 6, 9]
-    Dp = _bf16x2_matmul(P_t, jnp.einsum("fri,frj->fij", Jp, Jp)
-                        .reshape(-1, 36)).reshape(RP, 6, 6)
-    Hll_blocks = _bf16x2_matmul(L_t, jnp.einsum("fri,frj->fij", Jl, Jl)
-                                .reshape(-1, 81)).reshape(NL, 9, 9)
+    Dp = _scatter_rows(pidx, jnp.einsum("fri,frj->fij", Jp, Jp), RP)
+    Hll_blocks = _scatter_rows(lidx, jnp.einsum("fri,frj->fij", Jl, Jl), NL)
     lm_active = jnp.concatenate([s.cyl_valid(), s.cub_valid(), s.pt_valid()])
     eye9 = jnp.eye(9, dtype=r.dtype)
     hll_diag = jnp.einsum("nii->ni", Hll_blocks)
@@ -145,8 +158,8 @@ def build_operands(s: GraphState, cyl_sigma, bearing_sigma,
     Hll_inv = jnp.where(lm_active[:, None, None],
                         jnp.concatenate([cyl_inv, rest_inv], axis=0), 0.0)
 
-    g_p_lf = _bf16x2_matmul(P_t, jnp.einsum("fri,fr->fi", Jp, r))
-    g_l = _bf16x2_matmul(L_t, jnp.einsum("fri,fr->fi", Jl, r))
+    g_p_lf = _scatter_rows(pidx, jnp.einsum("fri,fr->fi", Jp, r), RP)
+    g_l = _scatter_rows(lidx, jnp.einsum("fri,fr->fi", Jl, r), NL)
 
     # odometry chain contributions to g_p: factor f couples (f-1, f)
     od_gi = jnp.einsum("fri,fr->fi", lin.od_Ji, lin.od_r)
@@ -161,7 +174,7 @@ def build_operands(s: GraphState, cyl_sigma, bearing_sigma,
     bf_g = jnp.concatenate([
         jnp.einsum("fri,fr->fi", lin.bf_Ji, lin.bf_r),
         jnp.einsum("fri,fr->fi", lin.bf_Jj, lin.bf_r)], axis=0)
-    g_p = g_p + _bf16x2_matmul(B_t, bf_g)
+    g_p = g_p + _scatter_rows(bidx, bf_g, RP)
 
     # damping diagonal of Hpp (od_Ji's diagonal belongs to slot f-1)
     diag_bf = jnp.concatenate([
@@ -170,7 +183,7 @@ def build_operands(s: GraphState, cyl_sigma, bearing_sigma,
     diag_p = (jnp.einsum("nii->ni", Dp)
               + jnp.einsum("fri,fri->fi", lin.od_Jj, lin.od_Jj)
               + _shift_to_prev(jnp.einsum("fri,fri->fi", lin.od_Ji, lin.od_Ji))
-              + _bf16x2_matmul(B_t, diag_bf))
+              + _scatter_rows(bidx, diag_bf, RP))
 
     if block_precond:
         # block-Jacobi preconditioner on S's diagonal blocks:
@@ -178,11 +191,11 @@ def build_operands(s: GraphState, cyl_sigma, bearing_sigma,
         od_bi = jnp.einsum("fri,frj->fij", lin.od_Ji, lin.od_Ji)
         od_bj = jnp.einsum("fri,frj->fij", lin.od_Jj, lin.od_Jj)
         corr_f = jnp.einsum("fij,fjk,flk->fil", A, Hll_inv[lidx], A)
-        corr_p = _bf16x2_matmul(P_t, corr_f.reshape(-1, 36)).reshape(RP, 6, 6)
+        corr_p = _scatter_rows(pidx, corr_f, RP)
         bf_blocks = jnp.concatenate([
             jnp.einsum("fri,frj->fij", lin.bf_Ji, lin.bf_Ji),
             jnp.einsum("fri,frj->fij", lin.bf_Jj, lin.bf_Jj)], axis=0)
-        bf_p = _bf16x2_matmul(B_t, bf_blocks.reshape(-1, 36)).reshape(RP, 6, 6)
+        bf_p = _scatter_rows(bidx, bf_blocks, RP)
         eye6 = jnp.eye(6, dtype=r.dtype)
         S_diag = (Dp + od_bj + _shift_to_prev_blocks(od_bi) + bf_p - corr_p
                   + lam * diag_p[:, :, None] * eye6 + 1e-6 * eye6)
@@ -242,13 +255,15 @@ def s_matvec(op: SchurOperands, x, lam):
     return _project(op.frozen, hx)
 
 
-def solve_reduced(op: SchurOperands, lam, pcg_iters, pcg_tol):
+def solve_reduced(op: SchurOperands, lam, pcg_iters, pcg_tol, step_tol=0.0):
     """PCG on the reduced pose system (block-Jacobi or scalar-Jacobi
     preconditioner, depending on how the operands were built); returns
     (dp [RP,6], dl [NL,9])."""
+    RP = op.g_p.shape[0]
+    NL = op.g_l.shape[0]
     w0 = jnp.einsum("nij,nj->ni", op.Hll_inv, op.g_l)
-    b = -op.g_p + _bf16x2_matmul(op.P_t,
-                                 jnp.einsum("fij,fj->fi", op.A, w0[op.lidx]))
+    b = -op.g_p + _scatter_rows(
+        op.pidx, jnp.einsum("fij,fj->fi", op.A, w0[op.lidx]), RP)
     b = _project(op.frozen, b)
 
     if op.prec_inv.shape[0]:
@@ -257,10 +272,10 @@ def solve_reduced(op: SchurOperands, lam, pcg_iters, pcg_tol):
         scalar = 1.0 / (op.diag_p * (1.0 + lam) + 1e-8)
         precond = lambda r: r * scalar
     hv = lambda x: s_matvec(op, x, lam)
-    dp = solver.pcg(hv, b, precond, pcg_iters, pcg_tol)
+    dp = solver.pcg(hv, b, precond, pcg_iters, pcg_tol, step_tol)
     # back-substitute landmarks: dl = Hll^-1 (-g_l - Hlp dp)
-    hlp_dp = _bf16x2_matmul(op.L_t,
-                            jnp.einsum("fij,fi->fj", op.A, dp[op.pidx]))
+    hlp_dp = _scatter_rows(
+        op.lidx, jnp.einsum("fij,fi->fj", op.A, dp[op.pidx]), NL)
     dl = jnp.einsum("nij,nj->ni", op.Hll_inv, -op.g_l - hlp_dp)
     dl = jnp.where(op.lm_active[:, None], dl, 0.0)
     return dp, dl
@@ -269,7 +284,8 @@ def solve_reduced(op: SchurOperands, lam, pcg_iters, pcg_tol):
 def solve(s: GraphState, *, cyl_sigma: float, bearing_sigma: float,
           outer_iters, pcg_iters, pcg_tol=1e-6,
           lam: float = 1e-6, rel_tol: float = 1e-6,
-          line_search: bool = True, block_precond: bool = True) -> GraphState:
+          line_search: bool = True, block_precond: bool = True,
+          step_tol=0.0) -> GraphState:
     """Schur-eliminated damped Gauss-Newton (drop-in for solver.solve on a
     single device; the factor-sharded SPMD path keeps the unified solver)."""
     NC = s.cyl_ray.shape[0]
@@ -278,7 +294,7 @@ def solve(s: GraphState, *, cyl_sigma: float, bearing_sigma: float,
     def one_iter(carry):
         s, it, _ = carry
         op = build_operands(s, cyl_sigma, bearing_sigma, lam, block_precond)
-        dp, dl = solve_reduced(op, lam, pcg_iters, pcg_tol)
+        dp, dl = solve_reduced(op, lam, pcg_iters, pcg_tol, step_tol)
         # sanitize: a non-finite step (degenerate block, overflow) must
         # never poison the state — iSAM2's equivalent is its indeterminant-
         # linear-system exception path

@@ -309,9 +309,10 @@ def _icp_refine(tf: np.ndarray, ref: np.ndarray, qry: np.ndarray, cfg,
     ref/qry: [*, 7] rows [label, x, y, z, d1, d2, d3] in the ORIGINAL
     (unshifted) frame; tf maps query positions onto reference positions.
     Matching mirrors the kernel's exact-rescore gates: same label, xy
-    distance < match_threshold_position, dimension gate unless ignored."""
+    distance < match_threshold_position, dimension gate unless ignored.
+    Returns (tf, n_pairs, rms)."""
     if len(ref) == 0 or len(qry) == 0:
-        return tf, 0
+        return tf, 0, np.inf
     label_eq = ref[None, :, 0] == qry[:, None, 0]
     if not cfg.ignore_dimension:
         cyl_like = (ref[:, 5] == 0) & (ref[:, 6] == 0)
@@ -355,21 +356,27 @@ class PlaceRecognition:
                  dims: Optional[SlideMatchDims] = None):
         self.cfg = cfg
         self.dims = dims or SlideMatchDims()
-        # (n_pairs, rms) of the last accepted LSQ/ICP fit — the closure
-        # measurement-noise proxy consumed by the factor sigma
-        self._last_fit = (0, np.inf)
 
     # -- core --------------------------------------------------------------
     def find_transformation(self, reference_objects: np.ndarray,
                             query_objects: np.ndarray, intra: bool):
-        """Returns (found, xyzyaw [4], tf [4,4], n_inliers).
+        """Returns (found, xyzyaw [4], tf [4,4], n_inliers, fit).
+
+        fit = (n_pairs, rms) of the accepted LSQ/ICP fit — the closure
+        measurement-noise proxy consumed by the factor sigma. Returned,
+        not stashed on the instance: one PlaceRecognition serves the
+        concurrent intra- and inter-LC worker jobs of a node, and shared
+        mutable fit state raced between them (ADVICE r4 #2). On the
+        raster-only path (use_nonlinear_least_squares=False) the rms is
+        proxied by match_threshold_position — the raster score counts
+        pairs within that radius, so it bounds the per-pair residual.
 
         reference/query rows: [label, x, y, z, dim1, dim2, dim3]."""
         cfg = self.cfg
         reference_objects = np.asarray(reference_objects, np.float32).reshape(-1, 7)
         query_objects = np.asarray(query_objects, np.float32).reshape(-1, 7)
         if len(reference_objects) == 0 or len(query_objects) == 0:
-            return False, None, None, 0
+            return False, None, None, 0, (0, np.inf)
         orig_ref = reference_objects
         orig_qry = query_objects
 
@@ -423,7 +430,7 @@ class PlaceRecognition:
         res_x, res_y, res_yaw, n_inliers = packed[0, :4]
         n_inliers = int(n_inliers)
         if n_inliers < cfg.min_num_inliers:
-            return False, None, None, n_inliers
+            return False, None, None, n_inliers, (0, np.inf)
 
         pair_mask = packed[1:, 0] > 0.5
         ref_pts = packed[1:, 1:5][pair_mask][:, 1:4]
@@ -449,8 +456,9 @@ class PlaceRecognition:
             # on the mission bench).
             tf, n_ref, fit_rms = _icp_refine(tf, orig_ref, orig_qry, cfg)
             n_inliers = max(n_inliers, n_ref)
-            self._last_fit = (n_ref, fit_rms)
+            fit = (n_ref, fit_rms)
         else:
+            fit = (n_inliers, float(cfg.match_threshold_position))
             tf_raw = _tf_from_xyyaw(float(res_x), float(res_y), float(res_yaw))
             if not intra:
                 # revertCentroidShift (place_recognition.cpp:947-967)
@@ -461,17 +469,17 @@ class PlaceRecognition:
                 tf = tf_raw
         yaw = float(np.arctan2(tf[1, 0], tf[0, 0]))
         xyzyaw = [float(tf[0, 3]), float(tf[1, 3]), float(tf[2, 3]), yaw]
-        return True, xyzyaw, tf, n_inliers
+        return True, xyzyaw, tf, n_inliers, fit
 
     # -- entry points ------------------------------------------------------
     def find_intra_loop_closure(self, measurements: np.ndarray,
                                 submap: np.ndarray, query_pose: np.ndarray,
                                 candidate_pose: np.ndarray):
         """place_recognition.cpp:389-496. measurements are body-frame rows;
-        returns (found, tfFromQuery2Candidate [4,4])."""
+        returns (found, tfFromQuery2Candidate [4,4], fit=(n_pairs, rms))."""
         measurements = np.asarray(measurements, np.float32).reshape(-1, 7)
         if len(measurements) < 4 or len(submap) == 0:
-            return False, None
+            return False, None, (0, np.inf)
         # project measurements into map frame by the (drifted) query pose
         qmat = se3np.matrix(np.asarray(query_pose, np.float32))
         meas_map = measurements.copy()
@@ -480,10 +488,16 @@ class PlaceRecognition:
             axis=1)
         meas_map[:, 1:4] = (qmat @ pos_h.T).T[:, :3].astype(np.float32)
 
-        found, xyzyaw, _, _ = self.find_transformation(submap, meas_map,
-                                                       intra=True)
+        found, xyzyaw, _, _, fit = self.find_transformation(submap, meas_map,
+                                                            intra=True)
         if not found:
-            return False, None
+            return False, None, (0, np.inf)
+        if fit[0] == 0:
+            # the exact re-fit found no supporting pairs: a closure factor
+            # from it would carry zero information — reject instead of
+            # adding a zero-weight factor that still counts as a success
+            # (ADVICE r4 #2)
+            return False, None, fit
         x, y, _, yaw = xyzyaw
         # drift correction compose; z forced 0 (place_recognition.cpp:470)
         lc_tf = _tf_from_xyyaw(x, y, yaw, z=0.0)
@@ -500,7 +514,7 @@ class PlaceRecognition:
         # reference order vs 0.2-0.9 m with this one — see
         # tests/test_intra_loop_closure.py::test_closure_tf_accuracy).
         tf_q2c = np.linalg.inv(c) @ lc_tf @ q
-        return True, tf_q2c
+        return True, tf_q2c, fit
 
     def find_inter_loop_closure(self, reference_map: np.ndarray,
                                 query_map: np.ndarray):
@@ -508,8 +522,9 @@ class PlaceRecognition:
         if (len(reference_map) < self.cfg.min_num_map_objects_to_start
                 or len(query_map) < self.cfg.min_num_map_objects_to_start):
             return False, None
-        found, xyzyaw, _, _ = self.find_transformation(reference_map,
-                                                       query_map, intra=False)
+        found, xyzyaw, _, _, _ = self.find_transformation(reference_map,
+                                                          query_map,
+                                                          intra=False)
         if not found:
             return False, None
         x, y, z, yaw = xyzyaw

@@ -141,6 +141,7 @@ def keyframe_step_fused(
         pcg_iters=solver_budget[1].astype(jnp.int32),
         pcg_tol=solver_budget[2],
         line_search=cfg.solver.incremental_line_search,
+        step_tol=cfg.solver.incremental_step_tol,
     )
     return s, out._replace(pose=s.poses[out.slot])
 
@@ -395,6 +396,7 @@ def _keyframe_body(cfg, state, robot_id, pose_estimate, rel_odom, scan_cyl,
             pcg_iters=cfg.solver.pcg_max_iterations,
             pcg_tol=cfg.solver.pcg_tol,
             line_search=cfg.solver.incremental_line_search,
+            step_tol=cfg.solver.incremental_step_tol,
         )
 
     if enable_solve:
@@ -417,7 +419,8 @@ def _keyframe_body(cfg, state, robot_id, pose_estimate, rel_odom, scan_cyl,
 @functools.partial(jax.jit, static_argnames=("cfg", "line_search"),
                    donate_argnames=("state",))
 def _solve_budget(cfg: SlamConfig, state: GraphState, outer_iters, pcg_iters,
-                  pcg_tol, line_search: bool = True) -> GraphState:
+                  pcg_tol, line_search: bool = True,
+                  step_tol=jnp.float32(0.0)) -> GraphState:
     if cfg.solver.use_schur:
         return schur.solve(
             state,
@@ -428,6 +431,7 @@ def _solve_budget(cfg: SlamConfig, state: GraphState, outer_iters, pcg_iters,
             pcg_tol=pcg_tol,
             line_search=line_search,
             block_precond=cfg.solver.use_block_jacobi,
+            step_tol=step_tol,
         )
     return solver.solve(
         state,
@@ -438,11 +442,13 @@ def _solve_budget(cfg: SlamConfig, state: GraphState, outer_iters, pcg_iters,
         pcg_tol=pcg_tol,
         block_precond=cfg.solver.use_block_jacobi,
         line_search=line_search,
+        step_tol=step_tol,
     )
 
 
 def solve_full(cfg: SlamConfig, state: GraphState) -> GraphState:
-    """Thorough solve — after loop closures / merges (guarded line search)."""
+    """Thorough solve — after loop closures / merges (guarded line search,
+    NO step-norm early exit: runs to the residual criterion)."""
     return _solve_budget(cfg, state,
                          jnp.int32(cfg.solver.max_outer_iterations),
                          jnp.int32(cfg.solver.pcg_max_iterations),
@@ -457,7 +463,8 @@ def solve_incremental(cfg: SlamConfig, state: GraphState) -> GraphState:
                          jnp.int32(cfg.solver.incremental_outer_iterations),
                          jnp.int32(cfg.solver.incremental_pcg_iterations),
                          jnp.float32(cfg.solver.incremental_pcg_tol),
-                         line_search=cfg.solver.incremental_line_search)
+                         line_search=cfg.solver.incremental_line_search,
+                         step_tol=jnp.float32(cfg.solver.incremental_step_tol))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -515,13 +515,12 @@ class SlamNode:
         submap = self._submap_from_rows(rows, cand_pose[4:7],
                                         cfg.lc_submap_radius)
         meas = self.packet_measurement_rows(packet)
-        found, tf_q2c = self.place_recognition.find_intra_loop_closure(
+        found, tf_q2c, fit = self.place_recognition.find_intra_loop_closure(
             meas, submap, chain[latest], cand_pose)
         self.intra_lc_time.append(time.perf_counter() - t0)
         if not found:
             return None
-        n_fit, fit_rms = self.place_recognition._last_fit
-        return cand, latest, se3np.from_matrix(tf_q2c), chain, (n_fit, fit_rms)
+        return cand, latest, se3np.from_matrix(tf_q2c), chain, fit
 
     def _apply_intra_result(self, res) -> bool:
         """Main-thread application of a completed intra-LC search."""

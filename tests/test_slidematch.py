@@ -154,7 +154,7 @@ def test_intra_loop_closure_corrects_known_drift():
     # yaw_step=5 so the intra yaw candidates (+-10 deg half range) include 0
     pr = make_pr(step=0.1, yaw_step=5.0, min_inliers=8)
     candidate = np.asarray(se3.from_xyz_yaw(0.0, 0.0, 0.0, 0.0))
-    found, tf_q2c = pr.find_intra_loop_closure(meas, world, drifted_pose,
+    found, tf_q2c, _ = pr.find_intra_loop_closure(meas, world, drifted_pose,
                                                candidate)
     assert found
     # Corrected composition (deviation from place_recognition.cpp:478-495,
