@@ -60,6 +60,36 @@ def outdoor_classes() -> List[ClassSpec]:
     ]
 
 
+def kitti_classes() -> List[ClassSpec]:
+    """KITTI semantic-segmentation ids
+    (process_cloud_node_outdoor_kitti_class_info.yaml): ground=40,
+    car=10 cuboid (assignment threshold 1.0, per-class DBSCAN [0.5, 10],
+    dim cutoffs 0.5-7.5 / 0.5-7.5 / 0.2-4.0), tree=71 and lightpole=80
+    cylinders."""
+    return [
+        ClassSpec("ground", 40, "ground"),
+        ClassSpec("car", 10, "cuboid", eps_cluster=0.5,
+                  min_samples_cluster=10, assignment_threshold=1.0,
+                  dim_lo=(0.5, 0.5, 0.2), dim_hi=(7.5, 7.5, 4.0)),
+        ClassSpec("tree", 71, "cylinder", assignment_threshold=1.0),
+        ClassSpec("lightpole", 80, "cylinder", assignment_threshold=1.0),
+    ]
+
+
+def kitti_pipeline_config() -> "PipelineConfig":
+    """KITTI benchmark preset
+    (process_cloud_node_outdoor_kitti_params.yaml + the 64x1024 HDL-64
+    cloud layout): 100 m valid range, conservative first-layer DBSCAN
+    (epsilon 0.1 / 7 samples), second layer (0.5 / 25), no car facing-dir
+    estimate, cuboid orientation consensus on."""
+    import dataclasses
+    classes = [dataclasses.replace(c, eps_noise=0.1, min_samples_noise=7)
+               for c in kitti_classes()]
+    return PipelineConfig(classes=classes, max_range=100.0,
+                          estimate_facing_dir_car=False,
+                          cluster_and_fix_cuboid_orientation=True)
+
+
 @dataclass
 class PipelineConfig:
     classes: List[ClassSpec] = field(default_factory=outdoor_classes)

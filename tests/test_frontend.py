@@ -294,6 +294,41 @@ class TestPipeline:
             assert np.linalg.norm(roots[:, :2] - np.asarray(tr)[:2],
                                   axis=1).min() < 0.5
 
+    def test_kitti_preset(self):
+        """KITTI config variant (process_cloud_node_outdoor_kitti_params
+        .yaml + kitti class_info): KITTI semantic ids (car=10, tree=71,
+        ground=40), 100 m range, same pipeline machinery."""
+        from slide_slam_tpu.frontend.pipeline import kitti_pipeline_config
+
+        cfg = kitti_pipeline_config()
+        assert cfg.max_range == 100.0
+        ids = {c.name: c.label for c in cfg.classes}
+        assert ids == {"ground": 40, "car": 10, "tree": 71, "lightpole": 80}
+        import dataclasses
+        rng = np.random.default_rng(9)
+        # KITTI HDL-64 clouds are dense: the preset's conservative
+        # first-layer DBSCAN (eps 0.1 / 7 samples) needs >~250 pts/m^2, so
+        # give the test cloud matching density (and capacity to keep it)
+        cfg = dataclasses.replace(cfg, max_points_per_class=4096)
+        pipeline = ProcessCloudPipeline(cfg)
+        pose = np.asarray(se3.identity(), np.float32)
+        obs = {}
+        for scan in range(4):
+            pts, labs = [], []
+            g_xy = rng.uniform(-15, 15, (300, 2))
+            pts.append(np.column_stack([g_xy, np.zeros(300)]))
+            labs.append(np.full(300, 40))
+            pts.append(synth_box_points(rng, [8.0, 2.0, 0.75],
+                                        [2.0, 1.0, 0.8], 0.4, 4000))
+            labs.append(np.full(4000, 10))
+            pts.append(synth_tree_points(rng, [4.0, -4.0, 0.0], 0.3, n=2000))
+            labs.append(np.full(2000, 71))
+            xyz = np.concatenate(pts).astype(np.float32)
+            lab = np.concatenate(labs)
+            obs = pipeline.process_scan(xyz, lab, pose)
+        assert "cyl_root" in obs and len(obs["cyl_root"]) >= 1
+        assert "cub_pose" in obs and len(obs["cub_pose"]) >= 1
+
 
 # ---------------------------------------------------------------------------
 class TestSegmentation:

@@ -21,12 +21,16 @@ from slide_slam_tpu.runtime.node import SlamNode
 
 
 def _cfg():
+    # factor capacities sized so the 60-keyframe fixture fits with zero
+    # drops (60 kf x <=32 obs/class): the solver proofs must run on
+    # UNCLIPPED graphs — r4's 1024-factor cap silently dropped 452
+    # cylinder factors from its own proof fixture (VERDICT r4 Weak #7)
     return SlamConfig(
         number_of_robots=1,
         capacity=CapacityConfig(
             max_poses_per_robot=128, max_cylinders=256, max_cuboids=64,
-            max_points=64, max_scan_objects=32, max_cylinder_factors=1024,
-            max_cuboid_factors=256, max_point_factors=256,
+            max_points=64, max_scan_objects=32, max_cylinder_factors=2048,
+            max_cuboid_factors=512, max_point_factors=1024,
             max_between_factors=16),
     )
 
@@ -43,6 +47,9 @@ def logged_state():
     node = SlamNode(cfg, robot_id=0)
     for kf in log.keyframes:
         node.process_keyframe(kf.stamp, kf.odom_pose, vars(kf))
+    assert sum(node.overflow_report().values()) == 0, (
+        "proof fixture overflowed — resize its capacities: "
+        f"{node.overflow_report()}")
     return cfg, jtu.tree_map(np.asarray, node.state)
 
 
