@@ -198,6 +198,11 @@ def _warm_mission_kernels(cfg, logs, rel):
     if len(ref_map) >= 10:
         node.place_recognition.find_transformation(ref_map, ref_map,
                                                    intra=False)
+        # the INTRA grid kernel is a separate compile (small fixed search
+        # ranges); unwarmed it costs the first in-mission attempt ~30-60 s
+        # inside the worker, starving every later attempt of wall time
+        node.place_recognition.find_transformation(ref_map[:32], ref_map[:32],
+                                                   intra=True)
         node.slidegraph.find_inter_loop_closure(ref_map, ref_map)
     # CLIPPER pow2 buckets: triangle-match counts vary per attempt as maps
     # grow, so EVERY bucket the mission can hit must be compiled up front —
@@ -269,10 +274,14 @@ def bench_mission():
     overflow_detail = {k: v for k, v in overflow.items() if v}
 
     # intra-LC ablation: replay robot 0's loop log SOLO with and without
-    # intra loop closure (same default gates) to isolate its ATE gain
+    # intra loop closure (same default gates) to isolate its ATE gain.
+    # SYNC runtime: the ablation replays sim time much faster than wall
+    # time, so async worker searches can't keep up with the event loop
+    # (one ~2 s search spans every remaining tick) — inline attempts put
+    # the retries on the sim clock like the reference's real-time run.
     ablation = {}
     for flag in (True, False):
-        m1 = MultiRobotMission(cfg, [logs[0]])
+        m1 = MultiRobotMission(cfg, [logs[0]], async_runtime=False)
         rep1 = m1.run(intra_lc=flag)
         est1 = rep1.nodes[0].optimized_trajectory()
         ablation[flag] = (

@@ -31,8 +31,9 @@ def main():
                              dropout=0.1, yaw_drift_bias=0.0008)
     odom = np.stack([kf.odom_pose for kf in log.keyframes])
     print(f"odom ATE: {synthetic.ate_rmse(odom, traj[:len(odom)], align=False):.3f}")
+    bench._warm_mission_kernels(cfg, [log], [])
     for flag in (True, False):
-        m = MultiRobotMission(cfg, [log])
+        m = MultiRobotMission(cfg, [log], async_runtime=False)
         rep = m.run(intra_lc=flag)
         n = rep.nodes[0]
         est = n.optimized_trajectory()

@@ -115,8 +115,23 @@ def _lm_factor_pack(s: GraphState, lin: solver.Linearization):
     return r, Jp, Jl, pidx, lidx
 
 
+def _maybe_psum(x, axis_name):
+    if axis_name is None:
+        return x
+    return jax.lax.psum(x, axis_name)
+
+
 def build_operands(s: GraphState, cyl_sigma, bearing_sigma,
-                   lam, block_precond: bool = True) -> SchurOperands:
+                   lam, block_precond: bool = True,
+                   axis_name=None) -> SchurOperands:
+    """axis_name: when set, the state is LANDMARK-SHARDED over that mesh
+    axis (parallel/landmark_sharded.py): poses/odometry replicated (odom
+    sigmas pre-inflated by sqrt(D) so psum counts the chain once), between
+    factors resident on shard 0 only, landmark arrays + their factors
+    local. Pose-side quantities whose value must be GLOBAL on every shard
+    (the damping diagonal, the block preconditioner) are psummed here;
+    per-factor operands stay local and are psummed at the aggregation
+    points (s_matvec / solve_reduced)."""
     RP = s.poses.shape[0]
     NC = s.cyl_ray.shape[0]
     NK = s.cub_pose.shape[0]
@@ -180,10 +195,11 @@ def build_operands(s: GraphState, cyl_sigma, bearing_sigma,
     diag_bf = jnp.concatenate([
         jnp.einsum("fri,fri->fi", lin.bf_Ji, lin.bf_Ji),
         jnp.einsum("fri,fri->fi", lin.bf_Jj, lin.bf_Jj)], axis=0)
-    diag_p = (jnp.einsum("nii->ni", Dp)
-              + jnp.einsum("fri,fri->fi", lin.od_Jj, lin.od_Jj)
-              + _shift_to_prev(jnp.einsum("fri,fri->fi", lin.od_Ji, lin.od_Ji))
-              + _scatter_rows(bidx, diag_bf, RP))
+    diag_p = _maybe_psum(
+        jnp.einsum("nii->ni", Dp)
+        + jnp.einsum("fri,fri->fi", lin.od_Jj, lin.od_Jj)
+        + _shift_to_prev(jnp.einsum("fri,fri->fi", lin.od_Ji, lin.od_Ji))
+        + _scatter_rows(bidx, diag_bf, RP), axis_name)
 
     if block_precond:
         # block-Jacobi preconditioner on S's diagonal blocks:
@@ -197,8 +213,10 @@ def build_operands(s: GraphState, cyl_sigma, bearing_sigma,
             jnp.einsum("fri,frj->fij", lin.bf_Jj, lin.bf_Jj)], axis=0)
         bf_p = _scatter_rows(bidx, bf_blocks, RP)
         eye6 = jnp.eye(6, dtype=r.dtype)
-        S_diag = (Dp + od_bj + _shift_to_prev_blocks(od_bi) + bf_p - corr_p
-                  + lam * diag_p[:, :, None] * eye6 + 1e-6 * eye6)
+        S_parts = _maybe_psum(
+            Dp + od_bj + _shift_to_prev_blocks(od_bi) + bf_p - corr_p,
+            axis_name)
+        S_diag = (S_parts + lam * diag_p[:, :, None] * eye6 + 1e-6 * eye6)
         prec_inv = jnp.linalg.inv(S_diag)
     else:
         # scalar Jacobi on diag(Hpp): skips the whole S_diag assembly
@@ -228,8 +246,10 @@ def _project(frozen, x):
     return jnp.where(frozen[:, None], 0.0, x)
 
 
-def s_matvec(op: SchurOperands, x, lam):
-    """S x on the reduced pose system — no scatter anywhere."""
+def s_matvec(op: SchurOperands, x, lam, axis_name=None):
+    """S x on the reduced pose system — no scatter anywhere. Under a
+    landmark-sharded axis the local contributions are psummed (x and the
+    result stay replicated; op.diag_p is already global)."""
     x = _project(op.frozen, x)
     # landmark-factor block-diagonal part
     hx = jnp.einsum("nij,nj->ni", op.Dp, x)
@@ -251,19 +271,23 @@ def s_matvec(op: SchurOperands, x, lam):
     w = jnp.einsum("nij,nj->ni", op.Hll_inv, z)
     u = jnp.einsum("fij,fj->fi", op.A, w[op.lidx])         # [F, 6]
     hx = hx - _bf16x2_matmul(op.P_t, u)
-    hx = hx + lam * op.diag_p * x
+    hx = _maybe_psum(hx, axis_name) + lam * op.diag_p * x
     return _project(op.frozen, hx)
 
 
-def solve_reduced(op: SchurOperands, lam, pcg_iters, pcg_tol, step_tol=0.0):
+def solve_reduced(op: SchurOperands, lam, pcg_iters, pcg_tol, step_tol=0.0,
+                  axis_name=None):
     """PCG on the reduced pose system (block-Jacobi or scalar-Jacobi
     preconditioner, depending on how the operands were built); returns
-    (dp [RP,6], dl [NL,9])."""
+    (dp [RP,6], dl [NL,9]). dp is replicated across a landmark-sharded
+    axis; dl is each shard's local landmark block."""
     RP = op.g_p.shape[0]
     NL = op.g_l.shape[0]
     w0 = jnp.einsum("nij,nj->ni", op.Hll_inv, op.g_l)
-    b = -op.g_p + _scatter_rows(
-        op.pidx, jnp.einsum("fij,fj->fi", op.A, w0[op.lidx]), RP)
+    b = _maybe_psum(
+        -op.g_p + _scatter_rows(
+            op.pidx, jnp.einsum("fij,fj->fi", op.A, w0[op.lidx]), RP),
+        axis_name)
     b = _project(op.frozen, b)
 
     if op.prec_inv.shape[0]:
@@ -271,7 +295,7 @@ def solve_reduced(op: SchurOperands, lam, pcg_iters, pcg_tol, step_tol=0.0):
     else:
         scalar = 1.0 / (op.diag_p * (1.0 + lam) + 1e-8)
         precond = lambda r: r * scalar
-    hv = lambda x: s_matvec(op, x, lam)
+    hv = lambda x: s_matvec(op, x, lam, axis_name)
     dp = solver.pcg(hv, b, precond, pcg_iters, pcg_tol, step_tol)
     # back-substitute landmarks: dl = Hll^-1 (-g_l - Hlp dp)
     hlp_dp = _scatter_rows(
@@ -285,16 +309,21 @@ def solve(s: GraphState, *, cyl_sigma: float, bearing_sigma: float,
           outer_iters, pcg_iters, pcg_tol=1e-6,
           lam: float = 1e-6, rel_tol: float = 1e-6,
           line_search: bool = True, block_precond: bool = True,
-          step_tol=0.0) -> GraphState:
+          step_tol=0.0, axis_name=None) -> GraphState:
     """Schur-eliminated damped Gauss-Newton (drop-in for solver.solve on a
-    single device; the factor-sharded SPMD path keeps the unified solver)."""
+    single device). axis_name: landmark-sharded SPMD solve — poses
+    replicated + psum-reduced, landmarks/factors local per shard
+    (parallel/landmark_sharded.py); the factor-sharded SPMD path keeps the
+    unified solver."""
     NC = s.cyl_ray.shape[0]
     NK = s.cub_pose.shape[0]
 
     def one_iter(carry):
         s, it, _ = carry
-        op = build_operands(s, cyl_sigma, bearing_sigma, lam, block_precond)
-        dp, dl = solve_reduced(op, lam, pcg_iters, pcg_tol, step_tol)
+        op = build_operands(s, cyl_sigma, bearing_sigma, lam, block_precond,
+                            axis_name)
+        dp, dl = solve_reduced(op, lam, pcg_iters, pcg_tol, step_tol,
+                               axis_name)
         # sanitize: a non-finite step (degenerate block, overflow) must
         # never poison the state — iSAM2's equivalent is its indeterminant-
         # linear-system exception path
@@ -304,12 +333,12 @@ def solve(s: GraphState, *, cyl_sigma: float, bearing_sigma: float,
                             cub=dl[NC:NC + NK], pt=dl[NC + NK:, :3])
         if not line_search:
             return solver.retract_state(s, dx), it + 1, jnp.bool_(False)
-        c0 = solver.cost(s, cyl_sigma, bearing_sigma)
+        c0 = solver.cost(s, cyl_sigma, bearing_sigma, axis_name)
         scales = jnp.array([1.0, 0.5, 0.25], dtype=s.poses.dtype)
         costs = jax.vmap(
             lambda a: solver.cost(
                 solver.retract_state(s, solver.tree_scale(a, dx)),
-                cyl_sigma, bearing_sigma))(scales)
+                cyl_sigma, bearing_sigma, axis_name))(scales)
         best = jnp.argmin(costs)
         accept = costs[best] < c0
         alpha = jnp.where(accept, scales[best], 0.0)
