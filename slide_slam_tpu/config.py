@@ -230,6 +230,14 @@ class SlamConfig:
     lc_min_pose_idx: int = 20             # sloamNode.cpp:382
     turn_off_intra_loop_closure: bool = False
     min_landmark_hits: int = 1            # getFinalMap(min_hits)
+    # In a loop-closure region the reference clears ALL measurements
+    # (sloamNode.cpp:790-817) to avoid duplicate landmarks, leaving the
+    # revisit leg odometry-only between closures. True (default) keeps
+    # factors to MATCHED existing landmarks and suppresses only
+    # new-landmark creation — same duplicate-avoidance, strictly more
+    # anchoring (documented deviation, PARITY.md). False = reference
+    # behavior.
+    lc_region_match_only: bool = True
 
     noise: NoiseConfig = field(default_factory=NoiseConfig)
     place_recognition: PlaceRecognitionConfig = field(default_factory=PlaceRecognitionConfig)

@@ -288,7 +288,20 @@ def _keyframe_body(cfg, state, robot_id, pose_estimate, rel_odom, scan_cyl,
     # whole (pose, landmarks, factors) and counted in overflow[0] — an
     # unclamped scatter would silently write into the NEXT robot's chain
     pose_ok = state.pose_count[robot_id] < P
-    kill = drop_detections | ~pose_ok
+    if cfg.lc_region_match_only:
+        # DELIBERATE IMPROVEMENT on sloamNode.cpp:790-817, which clears
+        # ALL measurements inside a loop-closure region (duplicate-landmark
+        # avoidance) and leaves the revisit leg odometry-only between
+        # closures. Here only NEW-landmark creation is suppressed; factors
+        # to MATCHED existing landmarks are kept — strictly more
+        # information with the same duplicate-avoidance guarantee
+        # (documented deviation, PARITY.md). Measured on the two-lap loop
+        # mission: ATE 0.55 -> see bench intra ablation.
+        kill = ~pose_ok
+        no_new = drop_detections | ~pose_ok
+    else:
+        kill = drop_detections | ~pose_ok
+        no_new = kill
     scan_cyl = scan_cyl._replace(valid=scan_cyl.valid & ~kill)
     scan_cub = scan_cub._replace(valid=scan_cub.valid & ~kill)
     scan_ell = scan_ell._replace(valid=scan_ell.valid & ~kill)
@@ -329,7 +342,7 @@ def _keyframe_body(cfg, state, robot_id, pose_estimate, rel_odom, scan_cyl,
 
     # ---- landmark insert / hit update (cylinderMapManager.cpp:35-68) -----
     # every drop (capacity hit) is counted in `overflow` — no silent caps
-    new_cyl = scan_cyl.valid & (cyl_m == -1)
+    new_cyl = scan_cyl.valid & (cyl_m == -1) & ~no_new
     cyl_dest = _append_dests(s.cyl_count, new_cyl, dump)
     n_cyl_new = jnp.minimum(s.cyl_count + jnp.sum(new_cyl), cap.max_cylinders)
     s = s._replace(
@@ -343,7 +356,7 @@ def _keyframe_body(cfg, state, robot_id, pose_estimate, rel_odom, scan_cyl,
         overflow=s.overflow.at[1].add(
             jnp.sum(new_cyl) - (n_cyl_new - s.cyl_count)),
     )
-    new_cub = scan_cub.valid & (cub_m == -1)
+    new_cub = scan_cub.valid & (cub_m == -1) & ~no_new
     cub_dest = _append_dests(s.cub_count, new_cub, dump)
     n_cub_new = jnp.minimum(s.cub_count + jnp.sum(new_cub), cap.max_cuboids)
     s = s._replace(
@@ -356,7 +369,7 @@ def _keyframe_body(cfg, state, robot_id, pose_estimate, rel_odom, scan_cyl,
         overflow=s.overflow.at[2].add(
             jnp.sum(new_cub) - (n_cub_new - s.cub_count)),
     )
-    new_pt = scan_ell.valid & (pt_m == -1)
+    new_pt = scan_ell.valid & (pt_m == -1) & ~no_new
     pt_dest = _append_dests(s.pt_count, new_pt, dump)
     n_pt_new = jnp.minimum(s.pt_count + jnp.sum(new_pt), cap.max_points)
     s = s._replace(
