@@ -42,6 +42,12 @@ class PlaceRecognitionConfig:
     dilation_factor: float = 1.2
     match_yaw_half_range: float = 180.0
     disable_yaw_search: bool = False
+    # separate inlier gate for INTRA attempts (0 = use min_num_inliers):
+    # the intra search window is +-5 m / +-10 deg, where a chance alignment
+    # is already improbable, while the forest-tuned inter gate (15) is
+    # sized for full-map matching — a ~18-measurement keyframe at 12 m
+    # sensor range can't clear it even on a perfect revisit
+    min_num_inliers_intra: int = 8
     match_threshold_dimension: float = 5.0
     ignore_dimension: bool = True
     use_nonlinear_least_squares: bool = True
@@ -230,6 +236,19 @@ class SlamConfig:
     lc_min_pose_idx: int = 20             # sloamNode.cpp:382
     turn_off_intra_loop_closure: bool = False
     min_landmark_hits: int = 1            # getFinalMap(min_hits)
+    # Inter-robot TF confirmation: a discovered map-merge TF is only
+    # accepted once N independent detections (separate attempts, grown
+    # maps) agree within the pos/yaw tolerances. In dense self-similar
+    # worlds a single SlideMatch/SlideGraph peak can be a chance alignment
+    # that clears the inlier gate (the 792-object fixture forest: ~18
+    # chance inliers at the 0.5 m threshold vs the 15 gate) — one wrong
+    # merge then floods the map with duplicate landmarks via replay.
+    # Chance peaks move as maps grow; the true alignment re-detects
+    # consistently. 1 = reference behavior (accept first detection,
+    # sloamNode.cpp:578-697).
+    inter_tf_confirmations: int = 2
+    inter_tf_confirm_pos: float = 1.0
+    inter_tf_confirm_yaw_deg: float = 5.0
     # In a loop-closure region the reference clears ALL measurements
     # (sloamNode.cpp:790-817) to avoid duplicate landmarks, leaving the
     # revisit leg odometry-only between closures. True (default) keeps
@@ -272,4 +291,15 @@ def forest_config() -> SlamConfig:
         ),
         slidegraph=dataclasses.replace(
             cfg.slidegraph, min_num_map_objects_to_start=100),
+        # Informed cylinder sigma (DOCUMENTED DEVIATION, PARITY.md #8):
+        # the reference hard-codes sigma 400 with a "TODO: update the
+        # cylinder measurement noise" (graphWrapper.cpp:60), making
+        # cylinder landmarks information-free — harmless where cuboid
+        # factors (sigma 0.1) carry the graph, but a forest world is
+        # cylinders-only and SLAM degenerates to odometry+closures
+        # (measured: ATE == odom ATE to 3 decimals). 10.0 reflects an
+        # object-level measurement at ~meter-scale trust; values <= 4
+        # over-trust and amplify mis-associations (measured 13.8 m ATE
+        # at sigma 4 in the dense fixture stand).
+        noise=dataclasses.replace(cfg.noise, cylinder=10.0),
     )

@@ -146,9 +146,19 @@ def build_operands(s: GraphState, cyl_sigma, bearing_sigma,
     L_t = (lidx[None, :] == jnp.arange(NL, dtype=jnp.int32)[:, None]
            ).astype(jnp.bfloat16)
 
+    # Precision split (r5): GRADIENT-side reductions (g_p, g_l, the Schur
+    # RHS, back-substitution) are EXACT f32 scatters — they define the
+    # fixed point (Gauss-Newton converges to gradient == 0 regardless of
+    # curvature error). CURVATURE-side block reductions (Dp, Hll, the
+    # preconditioner) keep the one-hot bf16x3 matmul — their ~1e-7 relative
+    # error only perturbs the convergence PATH, and their [F, 36]/[F, 81]
+    # payloads are the expensive reductions (scatter-add of the full block
+    # set measured +70% on solve_ms_mission: 6.95 -> 11.8 ms).
     A = jnp.einsum("fri,frj->fij", Jp, Jl)               # [F, 6, 9]
-    Dp = _scatter_rows(pidx, jnp.einsum("fri,frj->fij", Jp, Jp), RP)
-    Hll_blocks = _scatter_rows(lidx, jnp.einsum("fri,frj->fij", Jl, Jl), NL)
+    Dp = _bf16x2_matmul(P_t, jnp.einsum("fri,frj->fij", Jp, Jp)
+                        .reshape(-1, 36)).reshape(RP, 6, 6)
+    Hll_blocks = _bf16x2_matmul(L_t, jnp.einsum("fri,frj->fij", Jl, Jl)
+                                .reshape(-1, 81)).reshape(NL, 9, 9)
     lm_active = jnp.concatenate([s.cyl_valid(), s.cub_valid(), s.pt_valid()])
     eye9 = jnp.eye(9, dtype=r.dtype)
     hll_diag = jnp.einsum("nii->ni", Hll_blocks)
@@ -207,11 +217,11 @@ def build_operands(s: GraphState, cyl_sigma, bearing_sigma,
         od_bi = jnp.einsum("fri,frj->fij", lin.od_Ji, lin.od_Ji)
         od_bj = jnp.einsum("fri,frj->fij", lin.od_Jj, lin.od_Jj)
         corr_f = jnp.einsum("fij,fjk,flk->fil", A, Hll_inv[lidx], A)
-        corr_p = _scatter_rows(pidx, corr_f, RP)
+        corr_p = _bf16x2_matmul(P_t, corr_f.reshape(-1, 36)).reshape(RP, 6, 6)
         bf_blocks = jnp.concatenate([
             jnp.einsum("fri,frj->fij", lin.bf_Ji, lin.bf_Ji),
             jnp.einsum("fri,frj->fij", lin.bf_Jj, lin.bf_Jj)], axis=0)
-        bf_p = _scatter_rows(bidx, bf_blocks, RP)
+        bf_p = _bf16x2_matmul(B_t, bf_blocks.reshape(-1, 36)).reshape(RP, 6, 6)
         eye6 = jnp.eye(6, dtype=r.dtype)
         S_parts = _maybe_psum(
             Dp + od_bj + _shift_to_prev_blocks(od_bi) + bf_p - corr_p,

@@ -104,6 +104,13 @@ def world_from_reference_map(path: str, rng: np.random.Generator,
     recorded distribution; dimensions (radii/extents) are not stored in the
     fixture files and are synthesized."""
     rows_ = np.loadtxt(path, dtype=np.float32).reshape(-1, 4)
+    # ground-normalize: the recorded maps live in the original robot's
+    # odometry frame (z ~ -2..-3 m); mission trajectories fly at z ~ +0.5,
+    # and the loop-closure submap's 1.5 m z gate
+    # (cylinderMapManager.cpp:186-211) would otherwise filter out nearly
+    # the whole map (r5 diagnosis: 2-6 object submaps, zero closures)
+    rows_ = rows_.copy()
+    rows_[:, 3] -= np.median(rows_[:, 3])
     cyl = rows_[rows_[:, 0] == 0]
     other = rows_[rows_[:, 0] != 0]
     nc = len(cyl)
@@ -187,7 +194,13 @@ def render_observations(world: World, pose: np.ndarray,
     def visible(world_xyz):
         d = np.linalg.norm(world_xyz - np.asarray(pose)[4:7], axis=1)
         vis = (d < max_range) & (rng.uniform(size=len(d)) > dropout)
-        return np.nonzero(vis)[0]
+        idx = np.nonzero(vis)[0]
+        # NEAREST FIRST: downstream packing truncates to max_scan_objects,
+        # and a sensor keeps its close detections — world-order truncation
+        # kept a random scatter across the whole range disk, which in
+        # dense worlds falls outside the top-K DA submap and floods the
+        # map with duplicates (r5 fixture diagnosis)
+        return idx[np.argsort(d[idx], kind="stable")]
 
     ci = visible(world.cyl_root)
     root_b = se3.apply(inv, world.cyl_root[ci])

@@ -429,7 +429,10 @@ class PlaceRecognition:
         ))                                   # ONE device->host transfer
         res_x, res_y, res_yaw, n_inliers = packed[0, :4]
         n_inliers = int(n_inliers)
-        if n_inliers < cfg.min_num_inliers:
+        gate = (cfg.min_num_inliers_intra
+                if (intra and cfg.min_num_inliers_intra)
+                else cfg.min_num_inliers)
+        if n_inliers < gate:
             return False, None, None, n_inliers, (0, np.inf)
 
         pair_mask = packed[1:, 0] > 0.5

@@ -266,7 +266,8 @@ def replay_batch(
             st2, _ = _keyframe_body(
                 cfg, st, robot_id, par[0], par[1], cyl, cub, ell,
                 jnp.asarray(False), jnp.asarray(False),
-                odom_noise, cube_noise, enable_solve=False)
+                odom_noise, cube_noise, enable_solve=False,
+                set_prior=False)
             return st2
 
         return jax.lax.cond(ok, run, lambda st: st, s), None
@@ -278,7 +279,14 @@ def replay_batch(
 
 def _keyframe_body(cfg, state, robot_id, pose_estimate, rel_odom, scan_cyl,
                    scan_cub, scan_ell, drop_detections, do_solve, odom_noise,
-                   cube_noise, enable_solve):
+                   cube_noise, enable_solve, set_prior: bool = True):
+    """set_prior=False (the peer-replay path): a REPLAYED chain must NOT
+    receive a gauge anchor — freezing its first pose at tf o key_pose
+    bakes the merge TF's error into the graph permanently (r5 fixture:
+    a confirmed-but-1.1 m-off TF dragged the merged robots from 0.9 to
+    2.5 m ATE). Only the node's OWN chain carries the anchor; peer chains
+    hang off shared landmarks + relative factors and get pulled into
+    consistency by the solver."""
     s = state
     cap = cfg.capacity
     P = cap.max_poses_per_robot
@@ -399,9 +407,12 @@ def _keyframe_body(cfg, state, robot_id, pose_estimate, rel_odom, scan_cyl,
         odom_rel=s.odom_rel.at[slot_w].set(rel_odom, mode="drop"),
         odom_sigma=s.odom_sigma.at[slot_w].set(odom_sig, mode="drop"),
         pose_count=s.pose_count.at[robot_id].add(pose_ok.astype(jnp.int32)),
-        prior_pose=jnp.where(first, s.prior_pose.at[robot_id].set(pose_estimate),
-                             s.prior_pose),
-        prior_valid=s.prior_valid.at[robot_id].set(s.prior_valid[robot_id] | first),
+        prior_pose=(jnp.where(first,
+                              s.prior_pose.at[robot_id].set(pose_estimate),
+                              s.prior_pose) if set_prior else s.prior_pose),
+        prior_valid=(s.prior_valid.at[robot_id].set(
+            s.prior_valid[robot_id] | first) if set_prior
+            else s.prior_valid),
         overflow=s.overflow.at[0].add(1 - pose_ok.astype(jnp.int32)),
     )
 

@@ -205,15 +205,21 @@ class MultiRobotMission:
             self._drain_jobs(block=True)
         self._exchange(t1 + 10 * cfg.communication_wait_time,
                        block_maps=True)
-        for n in self.nodes:
+        # one final inter-LC round per required confirmation: a TF first
+        # detected here must still earn its re-detection witness
+        # (inter_tf_confirmations) before a merge is accepted
+        for _ in range(max(1, cfg.inter_tf_confirmations)):
+            for n in self.nodes:
+                if asyncmode:
+                    self._submit(n.robot_id, "inter",
+                                 n.submit_inter_loop_closure())
+                else:
+                    found = n.attempt_inter_loop_closure()
+                    if found and verbose:
+                        print(f"[final] robot {n.robot_id} found TF to "
+                              f"{found}")
             if asyncmode:
-                self._submit(n.robot_id, "inter", n.submit_inter_loop_closure())
-            else:
-                found = n.attempt_inter_loop_closure()
-                if found and verbose:
-                    print(f"[final] robot {n.robot_id} found TF to {found}")
-        if asyncmode:
-            self._drain_jobs(block=True)
+                self._drain_jobs(block=True)
         for n in self.nodes:
             n.replay_peers()
             n.process_relative_factors()

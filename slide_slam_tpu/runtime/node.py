@@ -112,6 +112,8 @@ class SlamNode:
         # every thread tick; only a SUCCESS arms the 1/frequency interval)
         self.last_intra_success_stamp = -np.inf
         self._last_intra_attempt_stamp: Optional[float] = None
+        # unconfirmed inter-robot TF candidates: rid -> (tf7, n_detections)
+        self._pending_inter_tf: Dict[int, tuple] = {}
         self._map_dirty = True
         self._noise_odom = jnp.asarray(_np(self.cfg.noise.odom))
         self._noise_cube = jnp.asarray(_np(self.cfg.noise.cube))
@@ -750,15 +752,60 @@ class SlamNode:
                 found[rid] = se3np.from_matrix(tf)
         return found
 
+    def _tf_consistent(self, a: np.ndarray, b: np.ndarray) -> bool:
+        """Two tf7 estimates agree within the confirmation tolerances."""
+        d = se3np.between(a, b)
+        if np.linalg.norm(d[4:7]) > self.cfg.inter_tf_confirm_pos:
+            return False
+        yaw = abs(np.arctan2(2 * (d[0] * d[3] + d[1] * d[2]),
+                             1 - 2 * (d[2] ** 2 + d[3] ** 2)))
+        return yaw <= np.deg2rad(self.cfg.inter_tf_confirm_yaw_deg)
+
     def _apply_inter_result(self, found: Dict[int, np.ndarray]) -> List[int]:
+        """Accept discovered TFs, gated by re-detection confirmation
+        (SlamConfig.inter_tf_confirmations): a chance alignment in a dense
+        self-similar map moves between attempts as the maps grow; the true
+        alignment re-detects consistently. One unconfirmed wrong merge
+        costs a duplicate-landmark flood (r5 fixture: ATE 9 m, 60k
+        dropped appends), so merges must earn a second witness."""
         ids = []
+        need = self.cfg.inter_tf_confirmations
         for rid, tf in found.items():
             if rid in self.dbm.loop_closure_tf:
                 continue
+            if need > 1:
+                pend = self._pending_inter_tf.get(rid)
+                if pend is None or not self._tf_consistent(pend[0], tf):
+                    self._pending_inter_tf[rid] = (tf, 1)
+                    continue
+                if pend[1] + 1 < need:
+                    self._pending_inter_tf[rid] = (tf, pend[1] + 1)
+                    continue
+                self._pending_inter_tf.pop(rid, None)
+            tf = self._refine_inter_tf(rid, tf)
             self.num_success_inter += 1
             self.dbm.loop_closure_tf[rid] = tf
             ids.append(rid)
         return ids
+
+    def _refine_inter_tf(self, rid: int, tf7: np.ndarray) -> np.ndarray:
+        """Map-to-map ICP polish of an accepted merge TF: re-match objects
+        at the candidate TF and LSQ re-fit a few rounds (the intra-closure
+        _icp_refine machinery on whole compact maps). The raster/CLIPPER
+        TF is a rigid fit of two internally drift-distorted maps and lands
+        ~0.5-1 m off; every replayed peer keyframe then inherits that
+        error as a systematic landmark offset."""
+        from ..place_recognition.slidematch import _icp_refine
+        own = self.dbm.get_robot_map(self.robot_id)
+        peer = self.dbm.get_robot_map(rid)
+        if len(own) < 5 or len(peer) < 5:
+            return tf7
+        tf_ref, n_fit, _rms = _icp_refine(
+            se3np.matrix(np.asarray(tf7, np.float32)), own, peer,
+            self.cfg.place_recognition, iters=4)
+        if n_fit < 5:
+            return tf7
+        return se3np.from_matrix(tf_ref)
 
     def submit_inter_loop_closure(self) -> Optional[Future]:
         """Async inter-LC attempt (the reference's detached
