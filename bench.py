@@ -233,9 +233,14 @@ def bench_mission():
     # minutes), so the reference's 20 s post-success interval (0.05 Hz)
     # would admit at most one re-closure; 0.2 Hz keeps the same
     # closures-per-lap density the reference gets on its real missions
+    import dataclasses as _dc
     cfg = SlamConfig(number_of_robots=3, capacity=mission_capacity(150),
                      solver=realtime_solver(),
                      intra_robot_place_recognition_frequency=0.2)
+    # informed cylinder sigma (PARITY #8): the reference's 400 leaves z
+    # unobserved by the (dominant) cylinder factors and robot chains
+    # z-wander ~0.5 m over the mission
+    cfg = cfg.replace(noise=_dc.replace(cfg.noise, cylinder=10.0))
     rng = np.random.default_rng(7)
     world = synthetic.make_forest_world(rng, n_trees=110, n_poles=18,
                                         n_cars=12, extent=40.0)
@@ -372,7 +377,10 @@ def bench_mission_fixture():
         capacity=dataclasses.replace(
             mission_capacity(150, n_cylinders=len(world.cyl_root),
                              n_cuboids=max(len(world.cub_label), 64)),
-            submap_k_cylinder=submap_k),
+            submap_k_cylinder=submap_k,
+            # dense stand: ~46 matched observations/keyframe x 450
+            # keyframes needs ~21k factor rows; 20480 clipped 38
+            max_cylinder_factors=24576),
         solver=realtime_solver(),
         intra_robot_place_recognition_frequency=0.2)
     # overlapping two-lap loops through the recorded map's dense stand —
@@ -395,12 +403,11 @@ def bench_mission_fixture():
             for r, t in enumerate(trajs)]
     rel = _mission_relative_meas(logs, rng)
     _warm_mission_kernels(cfg, logs, rel)
-    # SYNC runtime: accuracy is the fixture's contract (closure attempts
-    # ride the sim clock instead of starving behind a faster-than-realtime
-    # event replay); the wall clock still lands above the 15 kf/s
-    # real-time envelope and is reported as-is
+    # paced-async runtime: closure attempts ride the sim clock (an
+    # in-flight search is waited out at the next tick, never skipped) but
+    # still overlap keyframe dispatch between ticks
     mission = MultiRobotMission(cfg, logs, relative_meas=rel,
-                                use_input_manager=True, async_runtime=False)
+                                use_input_manager=True)
     n_total = sum(len(l.keyframes) for l in logs)
     profiling.phase_reset()
     t0 = time.perf_counter()

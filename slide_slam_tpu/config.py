@@ -124,6 +124,13 @@ def mission_capacity(n_keyframes_per_robot: int = 150,
         max_cuboid_factors=3072,
         max_point_factors=3072,
         max_between_factors=256,
+        # DA submap K must strictly cover the sensor disk with headroom:
+        # at the reference's 50, a keyframe seeing ~35 objects leaves only
+        # 1.4x margin — a few transient duplicates then crowd true
+        # neighbors out of the top-K, observations go unmatched, append
+        # MORE duplicates, and the feedback runs the map away (r5: the
+        # intermittent ~1k-append flood in the synthetic mission)
+        submap_k_cylinder=96,
     )
 
 
@@ -236,6 +243,15 @@ class SlamConfig:
     lc_min_pose_idx: int = 20             # sloamNode.cpp:382
     turn_off_intra_loop_closure: bool = False
     min_landmark_hits: int = 1            # getFinalMap(min_hits)
+    # Intra-closure consistency gate: reject a closure whose implied
+    # correction (measured rel vs the current chain's rel between the same
+    # two poses) exceeds this [m]. A true closure's correction equals the
+    # accumulated drift (sub-meter at mission scale); a tree-aliased
+    # alignment in a dense stand implies a multi-meter jump that then
+    # seeds the mis-association feedback (r5: one 1.3 m-correction
+    # closure at fit rms 0.8 ran the loop robot from 0.2 to 10.9 m ATE).
+    # The reference applies closures ungated. 0 disables.
+    intra_closure_max_correction: float = 1.0
     # Inter-robot TF confirmation: a discovered map-merge TF is only
     # accepted once N independent detections (separate attempts, grown
     # maps) agree within the pos/yaw tolerances. In dense self-similar

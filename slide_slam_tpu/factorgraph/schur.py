@@ -123,7 +123,8 @@ def _maybe_psum(x, axis_name):
 
 def build_operands(s: GraphState, cyl_sigma, bearing_sigma,
                    lam, block_precond: bool = True,
-                   axis_name=None) -> SchurOperands:
+                   axis_name=None, exact_curvature: bool = False
+                   ) -> SchurOperands:
     """axis_name: when set, the state is LANDMARK-SHARDED over that mesh
     axis (parallel/landmark_sharded.py): poses/odometry replicated (odom
     sigmas pre-inflated by sqrt(D) so psum counts the chain once), between
@@ -150,15 +151,26 @@ def build_operands(s: GraphState, cyl_sigma, bearing_sigma,
     # RHS, back-substitution) are EXACT f32 scatters — they define the
     # fixed point (Gauss-Newton converges to gradient == 0 regardless of
     # curvature error). CURVATURE-side block reductions (Dp, Hll, the
-    # preconditioner) keep the one-hot bf16x3 matmul — their ~1e-7 relative
-    # error only perturbs the convergence PATH, and their [F, 36]/[F, 81]
-    # payloads are the expensive reductions (scatter-add of the full block
-    # set measured +70% on solve_ms_mission: 6.95 -> 11.8 ms).
+    # preconditioner) keep the one-hot bf16x3 matmul on the per-keyframe
+    # incremental path — their ~1e-7 relative error only perturbs the
+    # convergence PATH, and their [F, 36]/[F, 81] payloads are the
+    # expensive reductions (scatter-add of the full block set measured
+    # +70% on solve_ms_mission: 6.95 -> 11.8 ms). THOROUGH solves
+    # (solve_full / the periodic re-converge) pass exact_curvature=True:
+    # a single budgeted GN step with approximate curvature tracks the
+    # optimum a few cm looser (bench r5: incremental_vs_converged 0.06 ->
+    # 0.18 with fast curvature everywhere), and the periodic exact solve
+    # pulls that drift back at negligible amortized cost.
     A = jnp.einsum("fri,frj->fij", Jp, Jl)               # [F, 6, 9]
-    Dp = _bf16x2_matmul(P_t, jnp.einsum("fri,frj->fij", Jp, Jp)
-                        .reshape(-1, 36)).reshape(RP, 6, 6)
-    Hll_blocks = _bf16x2_matmul(L_t, jnp.einsum("fri,frj->fij", Jl, Jl)
-                                .reshape(-1, 81)).reshape(NL, 9, 9)
+    if exact_curvature:
+        Dp = _scatter_rows(pidx, jnp.einsum("fri,frj->fij", Jp, Jp), RP)
+        Hll_blocks = _scatter_rows(lidx,
+                                   jnp.einsum("fri,frj->fij", Jl, Jl), NL)
+    else:
+        Dp = _bf16x2_matmul(P_t, jnp.einsum("fri,frj->fij", Jp, Jp)
+                            .reshape(-1, 36)).reshape(RP, 6, 6)
+        Hll_blocks = _bf16x2_matmul(L_t, jnp.einsum("fri,frj->fij", Jl, Jl)
+                                    .reshape(-1, 81)).reshape(NL, 9, 9)
     lm_active = jnp.concatenate([s.cyl_valid(), s.cub_valid(), s.pt_valid()])
     eye9 = jnp.eye(9, dtype=r.dtype)
     hll_diag = jnp.einsum("nii->ni", Hll_blocks)
@@ -319,7 +331,8 @@ def solve(s: GraphState, *, cyl_sigma: float, bearing_sigma: float,
           outer_iters, pcg_iters, pcg_tol=1e-6,
           lam: float = 1e-6, rel_tol: float = 1e-6,
           line_search: bool = True, block_precond: bool = True,
-          step_tol=0.0, axis_name=None) -> GraphState:
+          step_tol=0.0, axis_name=None,
+          exact_curvature: bool = False) -> GraphState:
     """Schur-eliminated damped Gauss-Newton (drop-in for solver.solve on a
     single device). axis_name: landmark-sharded SPMD solve — poses
     replicated + psum-reduced, landmarks/factors local per shard
@@ -331,7 +344,7 @@ def solve(s: GraphState, *, cyl_sigma: float, bearing_sigma: float,
     def one_iter(carry):
         s, it, _ = carry
         op = build_operands(s, cyl_sigma, bearing_sigma, lam, block_precond,
-                            axis_name)
+                            axis_name, exact_curvature)
         dp, dl = solve_reduced(op, lam, pcg_iters, pcg_tol, step_tol,
                                axis_name)
         # sanitize: a non-finite step (degenerate block, overflow) must

@@ -15,15 +15,32 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def match_nearest(dist: jnp.ndarray, thresh: float) -> jnp.ndarray:
+def match_nearest(dist: jnp.ndarray, thresh: float,
+                  margin: float = 0.0) -> jnp.ndarray:
     """dist: [N_scan, M_submap] -> match indices [N_scan] int32, -1 = no match.
 
     Matches sloam.cpp:88-107 / :134-154 / :178-202: accept the nearest submap
     entry iff its distance < thresh (invalid / label-mismatched entries carry
-    the BIG sentinel and can never win)."""
+    the BIG sentinel and can never win).
+
+    margin > 0 adds an AMBIGUITY gate the reference lacks: the winner must
+    beat the runner-up by at least `margin` [m]. In stands where object
+    spacing approaches the match threshold, a drifted pose estimate puts
+    two candidates inside the gate and the greedy argmin captures the
+    wrong one ~half the time — each wrong factor drags the pose further
+    and the error feeds back (r5: seed-dependent 0.14-vs-15 m ATE
+    collapses in the dense fixture stand). An ambiguous observation is
+    skipped (no factor, no new landmark): losing one observation is
+    cheap, a wrong association is not."""
     best = jnp.argmin(dist, axis=1).astype(jnp.int32)
     best_d = jnp.min(dist, axis=1)
-    return jnp.where(best_d < thresh, best, -1)
+    ok = best_d < thresh
+    if margin > 0.0:
+        second = jnp.min(
+            jnp.where(jnp.arange(dist.shape[1])[None, :] == best[:, None],
+                      jnp.inf, dist), axis=1)
+        ok = ok & (second - best_d > margin)
+    return jnp.where(ok, best, -1)
 
 
 def to_global_indices(matches: jnp.ndarray, submap_indices: jnp.ndarray) -> jnp.ndarray:

@@ -424,7 +424,12 @@ def _keyframe_body(cfg, state, robot_id, pose_estimate, rel_odom, scan_cyl,
     lm7_body = jnp.concatenate(
         [scan_cyl.ray, scan_cyl.root, scan_cyl.radius[:, None]], axis=-1)
     cyl_lm_idx = jnp.where(new_cyl, cyl_dest, cyl_m).astype(jnp.int32)
-    cf_ok = scan_cyl.valid & (cyl_lm_idx < cap.max_cylinders)
+    # lm_idx >= 0 guard: an observation that neither matched nor created a
+    # landmark (no_new in LC regions, or margin-gated ambiguity) carries
+    # -1/-2 — without the guard that wrapped to the LAST landmark slot and
+    # appended a garbage factor per unmatched in-region observation
+    # (r5 root cause of the dense-stand trajectory collapses)
+    cf_ok = scan_cyl.valid & (cyl_lm_idx >= 0) & (cyl_lm_idx < cap.max_cylinders)
     cf_dest = _append_dests(s.cf_count, cf_ok, dump)
     n_cf_new = jnp.minimum(s.cf_count + jnp.sum(cf_ok), cap.max_cylinder_factors)
     s = s._replace(
@@ -432,12 +437,14 @@ def _keyframe_body(cfg, state, robot_id, pose_estimate, rel_odom, scan_cyl,
         cf_lm=s.cf_lm.at[cf_dest].set(cyl_lm_idx, mode="drop"),
         cf_meas=s.cf_meas.at[cf_dest].set(lm7_body, mode="drop"),
         cf_count=n_cf_new,
+        # capacity drops only: cf_ok already excludes the DELIBERATE
+        # skips (no_new in LC regions, ambiguity-gated, lm-insert dropped)
         overflow=s.overflow.at[4].add(
-            jnp.sum(scan_cyl.valid) - (n_cf_new - s.cf_count)),
+            jnp.sum(cf_ok) - (n_cf_new - s.cf_count)),
     )
     # cuboid factors: body measurement + range-scaled sigma (graph.cpp:198-231)
     cub_lm_idx = jnp.where(new_cub, cub_dest, cub_m).astype(jnp.int32)
-    kf_ok = scan_cub.valid & (cub_lm_idx < cap.max_cuboids)
+    kf_ok = scan_cub.valid & (cub_lm_idx >= 0) & (cub_lm_idx < cap.max_cuboids)
     kf_dest = _append_dests(s.kf_count, kf_ok, dump)
     n_kf_new = jnp.minimum(s.kf_count + jnp.sum(kf_ok), cap.max_cuboid_factors)
     cub_rng = jnp.linalg.norm(se3.trans(scan_cub.pose), axis=-1)
@@ -450,12 +457,12 @@ def _keyframe_body(cfg, state, robot_id, pose_estimate, rel_odom, scan_cyl,
         kf_sigma=s.kf_sigma.at[kf_dest].set(kf_sig, mode="drop"),
         kf_count=n_kf_new,
         overflow=s.overflow.at[5].add(
-            jnp.sum(scan_cub.valid) - (n_kf_new - s.kf_count)),
+            jnp.sum(kf_ok) - (n_kf_new - s.kf_count)),
     )
     # bearing-range factors from body-frame ellipsoid centroids
     # (graphWrapper.cpp:159-202)
     pt_lm_idx = jnp.where(new_pt, pt_dest, pt_m).astype(jnp.int32)
-    uf_ok = scan_ell.valid & (pt_lm_idx < cap.max_points)
+    uf_ok = scan_ell.valid & (pt_lm_idx >= 0) & (pt_lm_idx < cap.max_points)
     uf_dest = _append_dests(s.uf_count, uf_ok, dump)
     n_uf_new = jnp.minimum(s.uf_count + jnp.sum(uf_ok), cap.max_point_factors)
     p_body = se3.trans(scan_ell.pose)
@@ -468,7 +475,7 @@ def _keyframe_body(cfg, state, robot_id, pose_estimate, rel_odom, scan_cyl,
         uf_range=s.uf_range.at[uf_dest].set(rng, mode="drop"),
         uf_count=n_uf_new,
         overflow=s.overflow.at[6].add(
-            jnp.sum(scan_ell.valid) - (n_uf_new - s.uf_count)),
+            jnp.sum(uf_ok) - (n_uf_new - s.uf_count)),
     )
 
     # ---- solve (graph.cpp:260-272 -> batched GN, solver.py) --------------
@@ -504,11 +511,13 @@ def _keyframe_body(cfg, state, robot_id, pose_estimate, rel_odom, scan_cyl,
     return s, out
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "line_search"),
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "line_search", "exact_curvature"),
                    donate_argnames=("state",))
 def _solve_budget(cfg: SlamConfig, state: GraphState, outer_iters, pcg_iters,
                   pcg_tol, line_search: bool = True,
-                  step_tol=jnp.float32(0.0)) -> GraphState:
+                  step_tol=jnp.float32(0.0),
+                  exact_curvature: bool = False) -> GraphState:
     if cfg.solver.use_schur:
         return schur.solve(
             state,
@@ -520,6 +529,7 @@ def _solve_budget(cfg: SlamConfig, state: GraphState, outer_iters, pcg_iters,
             line_search=line_search,
             block_precond=cfg.solver.use_block_jacobi,
             step_tol=step_tol,
+            exact_curvature=exact_curvature,
         )
     return solver.solve(
         state,
@@ -536,11 +546,13 @@ def _solve_budget(cfg: SlamConfig, state: GraphState, outer_iters, pcg_iters,
 
 def solve_full(cfg: SlamConfig, state: GraphState) -> GraphState:
     """Thorough solve — after loop closures / merges (guarded line search,
-    NO step-norm early exit: runs to the residual criterion)."""
+    NO step-norm early exit, EXACT curvature reductions: runs to the
+    residual criterion)."""
     return _solve_budget(cfg, state,
                          jnp.int32(cfg.solver.max_outer_iterations),
                          jnp.int32(cfg.solver.pcg_max_iterations),
-                         jnp.float32(cfg.solver.pcg_tol))
+                         jnp.float32(cfg.solver.pcg_tol),
+                         exact_curvature=True)
 
 
 def solve_incremental(cfg: SlamConfig, state: GraphState) -> GraphState:

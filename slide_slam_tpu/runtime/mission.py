@@ -110,6 +110,20 @@ class MultiRobotMission:
         if fut is not None:
             self._jobs[(rid, kind)] = fut
 
+    def _finish_job(self, rid: int, kind: str):
+        """Block on one node's in-flight LC job and apply its result."""
+        fut = self._jobs.pop((rid, kind), None)
+        if fut is None:
+            return
+        res = fut.result()
+        node = self.by_id[rid]
+        if kind == "intra":
+            with phase("intra_apply"):
+                node._apply_intra_result(res)
+        else:
+            with phase("inter_apply"):
+                node._apply_inter_result(res)
+
     # ------------------------------------------------------------------
     def run(self, intra_lc: bool = False, verbose: bool = False,
             final_solve: bool = True) -> MissionReport:
@@ -179,9 +193,17 @@ class MultiRobotMission:
             elif kind == "inter_lc":
                 n = self.by_id[payload]
                 if asyncmode:
-                    if (n.robot_id, "inter") not in self._jobs:
-                        self._submit(n.robot_id, "inter",
-                                     n.submit_inter_loop_closure())
+                    # PACED async: the attempt cadence rides the SIM clock.
+                    # An in-flight search from the previous tick is waited
+                    # out (and applied) instead of skipping the tick — a
+                    # faster-than-realtime replay otherwise races past
+                    # every remaining tick while one search runs, starving
+                    # the closure machinery to ~1 attempt per mission
+                    # (r5 diagnosis). Between ticks the search still
+                    # overlaps keyframe dispatch.
+                    self._finish_job(n.robot_id, "inter")
+                    self._submit(n.robot_id, "inter",
+                                 n.submit_inter_loop_closure())
                 else:
                     found = n.attempt_inter_loop_closure()
                     if found and verbose:
@@ -190,9 +212,9 @@ class MultiRobotMission:
             elif kind == "intra_lc":
                 n = self.by_id[payload]
                 if asyncmode:
-                    if (n.robot_id, "intra") not in self._jobs:
-                        self._submit(n.robot_id, "intra",
-                                     n.submit_intra_loop_closure(stamp))
+                    self._finish_job(n.robot_id, "intra")
+                    self._submit(n.robot_id, "intra",
+                                 n.submit_intra_loop_closure(stamp))
                 else:
                     n.attempt_intra_loop_closure(stamp)
             elif kind == "rel_factor":

@@ -631,6 +631,24 @@ class SlamNode:
         if res is None:
             return False
         cand, latest, rel, chain, (n_fit, fit_rms) = res
+        # fit-quality gate: a closure whose per-pair residual approaches
+        # the match threshold is an aliased alignment, not a fit — in a
+        # ~2 m-spaced stand it enters at meter-scale error and seeds the
+        # mis-association feedback
+        if fit_rms > 1.5 * self.cfg.place_recognition.match_threshold_position:
+            return False
+        gate = self.cfg.intra_closure_max_correction
+        if gate > 0 and latest < len(self.key_poses):
+            # consistency gate vs the CURRENT chain (host mirror): a true
+            # closure corrects by at most the accumulated drift; a
+            # tree-aliased match implies a jump and must not enter the
+            # graph (config.intra_closure_max_correction)
+            expected = se3np.between(self.key_poses[cand],
+                                     self.key_poses[latest])
+            corr = float(np.linalg.norm(
+                np.asarray(expected)[4:7] - np.asarray(rel)[4:7]))
+            if corr > gate:
+                return False
         self.num_success_intra += 1
         if self._last_intra_attempt_stamp is not None:
             self.last_intra_success_stamp = self._last_intra_attempt_stamp
