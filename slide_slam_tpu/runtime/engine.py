@@ -437,10 +437,13 @@ def _keyframe_body(cfg, state, robot_id, pose_estimate, rel_odom, scan_cyl,
         cf_lm=s.cf_lm.at[cf_dest].set(cyl_lm_idx, mode="drop"),
         cf_meas=s.cf_meas.at[cf_dest].set(lm7_body, mode="drop"),
         cf_count=n_cf_new,
-        # capacity drops only: cf_ok already excludes the DELIBERATE
-        # skips (no_new in LC regions, ambiguity-gated, lm-insert dropped)
+        # capacity drops only: cf_ok excludes the DELIBERATE skips
+        # (no_new in LC regions, ambiguity-gated -> lm_idx == -1), which
+        # are NOT counted; a factor lost because its landmark's insert
+        # overflowed (lm_idx >= cap) IS capacity-induced and is counted
         overflow=s.overflow.at[4].add(
-            jnp.sum(cf_ok) - (n_cf_new - s.cf_count)),
+            jnp.sum(cf_ok) - (n_cf_new - s.cf_count)
+            + jnp.sum(scan_cyl.valid & (cyl_lm_idx >= cap.max_cylinders))),
     )
     # cuboid factors: body measurement + range-scaled sigma (graph.cpp:198-231)
     cub_lm_idx = jnp.where(new_cub, cub_dest, cub_m).astype(jnp.int32)
@@ -457,7 +460,8 @@ def _keyframe_body(cfg, state, robot_id, pose_estimate, rel_odom, scan_cyl,
         kf_sigma=s.kf_sigma.at[kf_dest].set(kf_sig, mode="drop"),
         kf_count=n_kf_new,
         overflow=s.overflow.at[5].add(
-            jnp.sum(kf_ok) - (n_kf_new - s.kf_count)),
+            jnp.sum(kf_ok) - (n_kf_new - s.kf_count)
+            + jnp.sum(scan_cub.valid & (cub_lm_idx >= cap.max_cuboids))),
     )
     # bearing-range factors from body-frame ellipsoid centroids
     # (graphWrapper.cpp:159-202)
@@ -475,7 +479,8 @@ def _keyframe_body(cfg, state, robot_id, pose_estimate, rel_odom, scan_cyl,
         uf_range=s.uf_range.at[uf_dest].set(rng, mode="drop"),
         uf_count=n_uf_new,
         overflow=s.overflow.at[6].add(
-            jnp.sum(uf_ok) - (n_uf_new - s.uf_count)),
+            jnp.sum(uf_ok) - (n_uf_new - s.uf_count)
+            + jnp.sum(scan_ell.valid & (pt_lm_idx >= cap.max_points))),
     )
 
     # ---- solve (graph.cpp:260-272 -> batched GN, solver.py) --------------

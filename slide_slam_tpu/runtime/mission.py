@@ -250,6 +250,16 @@ class MultiRobotMission:
             # post-closure path uses) so exported trajectories/maps reflect
             # the optimum rather than the last real-time incremental nudge
             from . import engine
+            import time as _time
+            import jax
+            # drain the queued device backlog (trailing replays/exchange
+            # programs) BEFORE the solves so the pose_fetch phase below
+            # measures the fetch itself, not upstream compute riding the
+            # queue (VERDICT r4 Weak #8 diagnosis)
+            t0 = _time.perf_counter()
+            for n in self.nodes:
+                jax.block_until_ready(n.state.poses)
+            phase_add("final_backlog_wait", _time.perf_counter() - t0)
             for n in self.nodes:
                 n.state = engine.solve_full(cfg, n.state)
             if self.pool is not None:
@@ -260,7 +270,6 @@ class MultiRobotMission:
                 # backlog on the clock (VERDICT r4 Weak #8)
                 futs = [(n, self.pool.submit(np.asarray, n._snapshot_poses()))
                         for n in self.nodes]
-                import time as _time
                 t0 = _time.perf_counter()
                 chains = [(n, f.result()) for n, f in futs]
                 phase_add("pose_fetch", _time.perf_counter() - t0)
